@@ -1,0 +1,702 @@
+"""TGGCN — the 2G-GCN two-level recurrent HOI model, TPU-native.
+
+Functional re-design of the reference TGGCN (vhoi/models.py:178-1564) for
+JAX/XLA:
+
+  * The geometry stream (GeoGCN + embedding MLPs) and all frame-level
+    message passing / attention / discrete update decisions are computed for
+    ALL (batch, time, entity) triples at once as batched einsums — the
+    reference's T x (H+O) Python frame loop (models.py:664-749) has no
+    recurrent dependency, so it vectorises completely.
+  * The frame-level BiGRUs and the segment-level gated bidirectional GRU are
+    `lax.scan`s. The segment scan processes the forward (t) and backward
+    (T-1-t) directions in lockstep — exactly the reference's paired loop
+    (models.py:785-880) — with the cache-then-commit semantics expressed as
+    "all messages read the carry; the carry updates at the end of the step".
+  * reorder_hidden_states is a reverse-time scan (tggcn.nn.temporal).
+
+Semantics preserved (see SURVEY.md §2.3): geometry split by human feature
+width (2124/2168/2152), the raw-memory geometry reshape quirk
+(models.py:644-645), message input orderings, sah/ind/coh object update
+strategies, GT-segmentation overrides, forced u=1 at the final padded step,
+local-maximum decision filtering, and the exact output list layout.
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tggcn.nn.distributions import discrete_estimator
+from tggcn.nn.geo_gcn import apply_geo_gcn, init_geo_gcn
+from tggcn.nn.gru import (
+    gru_gates_input,
+    gru_step_from_gates,
+    init_bigru,
+    init_gru_cell,
+    run_bigru,
+)
+from tggcn.nn.messages import compute_message_features
+from tggcn.nn.mlp import apply_mlp, init_bilinear, init_mlp
+from tggcn.nn.temporal import (
+    assemble_segment_length_tensor,
+    assemble_time_tensor,
+    filter_soft_decisions,
+    make_periodic_embedding,
+    reorder_hidden_states,
+)
+
+
+@dataclass(frozen=True)
+class TGGCNConfig:
+    input_size: tuple
+    num_classes: tuple
+    hidden_size: int = 128
+    discrete_networks_num_layers: int = 1
+    discrete_optimization_strategy: str = "gumbel-sigmoid"
+    filter_discrete_updates: bool = False
+    gcn_node: int = 26
+    message_humans_to_human: bool = True
+    message_human_to_objects: bool = True
+    message_objects_to_human: bool = True
+    message_objects_to_object: bool = True
+    message_geometry_to_objects: bool = True
+    message_geometry_to_human: bool = False
+    message_segment: bool = False
+    message_type: str = "relational"
+    message_granularity: str = "specific"
+    message_aggregation: str = "attention"
+    attention_style: str = "concat"
+    object_segment_update_strategy: str = "independent"
+    update_segment_threshold: float = 0.5
+    add_segment_length: bool = False
+    add_time_position: bool = False
+    time_position_strategy: str = "s"
+    positional_encoding_style: str = "embedding"
+    cat_level_states: bool = False
+    share_level_mlps: bool = False
+    bias: bool = True
+
+    @classmethod
+    def from_kwargs(cls, **kwargs):
+        fields = cls.__dataclass_fields__
+        clean = {}
+        for k, v in kwargs.items():
+            if k not in fields:
+                continue
+            if fields[k].type is bool or isinstance(cls.__dataclass_fields__[k].default, bool):
+                v = bool(v)
+            if k in ("input_size", "num_classes"):
+                v = tuple(v)
+            clean[k] = v
+        return cls(**clean)
+
+    # Derived flag helpers ------------------------------------------------
+    @property
+    def relational(self):
+        return self.message_type in {"v1", "relational"}
+
+    @property
+    def attention(self):
+        return self.message_aggregation in {"att", "attention"}
+
+    @property
+    def embedding_positional(self):
+        return self.positional_encoding_style in {"e", "embedding"}
+
+    def message_kwargs(self):
+        return dict(message_type=self.message_type,
+                    message_granularity=self.message_granularity,
+                    message_aggregation=self.message_aggregation,
+                    attention_style=self.attention_style)
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialisation
+# ---------------------------------------------------------------------------
+
+
+def _init_message_params(key, cfg: TGGCNConfig, segment: bool) -> dict:
+    """Message parameter bundle for one edge type (reference models.py:321-520)."""
+    h, bias = cfg.hidden_size, cfg.bias
+    kg, kf, km, ka = jax.random.split(key, 4)
+    params = {}
+    if cfg.relational:
+        pair_in = (2 * h) if segment else (4 * h)
+        params["g"] = init_mlp(kg, [pair_in, h], bias=bias)
+        params["f"] = init_mlp(kf, [h, h], bias=bias)
+        return params
+    if cfg.message_granularity in {"v1", "generic"}:
+        msg_in = h if segment else 2 * h
+    else:
+        msg_in = (2 * h) if segment else (4 * h)
+    params["msg"] = init_mlp(km, [msg_in, h], bias=bias)
+    if cfg.attention:
+        if cfg.attention_style in {"v4", "general"}:
+            att_in = h if segment else 2 * h
+            params["att"] = init_bilinear(ka, att_in, att_in, 1, bias=bias)
+        else:
+            att_in = (2 * h) if segment else (4 * h)
+            params["att"] = init_mlp(ka, [att_in, 1], bias=bias)
+    return params
+
+
+def _human_segment_input_size(cfg: TGGCNConfig) -> int:
+    h = cfg.hidden_size
+    size = h
+    if cfg.message_humans_to_human:
+        size += h
+        if cfg.message_segment:
+            size += h
+    if cfg.message_geometry_to_human:
+        size += h
+    if cfg.message_objects_to_human:
+        size += h
+        if cfg.message_segment:
+            size += h
+    if cfg.add_time_position and cfg.time_position_strategy == "s":
+        size += h
+    if cfg.add_segment_length:
+        size += h
+    return size
+
+
+def _object_segment_input_size(cfg: TGGCNConfig) -> int:
+    h = cfg.hidden_size
+    size = h
+    if cfg.message_geometry_to_objects:
+        size += h
+    if cfg.message_human_to_objects:
+        size += h
+        if cfg.message_segment:
+            size += h
+    if cfg.message_objects_to_object:
+        size += h
+        if cfg.message_segment:
+            size += h
+    if cfg.add_time_position and cfg.time_position_strategy == "s":
+        size += h
+    if cfg.add_segment_length:
+        size += h
+    return size
+
+
+def init_tggcn(key, cfg: TGGCNConfig) -> dict:
+    h, bias = cfg.hidden_size, cfg.bias
+    human_input_size, object_input_size = cfg.input_size
+    num_subactivities, num_affordances = cfg.num_classes
+    del human_input_size  # visual part is always 2048 (reference models.py:273)
+    keys = iter(jax.random.split(key, 64))
+    params = {}
+
+    if cfg.add_time_position and cfg.embedding_positional:
+        params["time_position_mlp"] = init_mlp(next(keys), [1, h], bias=bias)
+    if cfg.add_segment_length and cfg.embedding_positional:
+        params["segment_length_mlp"] = init_mlp(next(keys), [1, h], bias=bias)
+
+    # Geometry stream (reference models.py:264-269).
+    params["geometry_embedding_gcn"] = init_geo_gcn(next(keys), cfg.gcn_node, 4, 128)
+    params["geometry_embedding_mlp"] = init_mlp(next(keys), [cfg.gcn_node * 128, 2048, h], bias=bias)
+    params["geometry_bd_rnn"] = init_bigru(next(keys), h, h, bias=bias)
+    params["geometry_bd_embedding_mlp"] = init_mlp(next(keys), [2 * h, h], bias=bias)
+
+    # Human stream (reference models.py:272-295).
+    params["human_embedding_mlp"] = init_mlp(next(keys), [2048, h], bias=bias)
+    params["human_bd_rnn"] = init_bigru(next(keys), h, h, bias=bias)
+    params["human_bd_embedding_mlp"] = init_mlp(next(keys), [2 * h, h], bias=bias)
+    params["human_segment_rnn_fcell"] = init_gru_cell(next(keys), _human_segment_input_size(cfg), h, bias=bias)
+    params["human_segment_rnn_bcell"] = init_gru_cell(next(keys), _human_segment_input_size(cfg), h, bias=bias)
+
+    # Object stream (reference models.py:297-320).
+    params["object_embedding_mlp"] = init_mlp(next(keys), [object_input_size, h], bias=bias)
+    params["object_bd_rnn"] = init_bigru(next(keys), h, h, bias=bias)
+    params["object_bd_embedding_mlp"] = init_mlp(next(keys), [2 * h, h], bias=bias)
+    params["object_segment_rnn_fcell"] = init_gru_cell(next(keys), _object_segment_input_size(cfg), h, bias=bias)
+    params["object_segment_rnn_bcell"] = init_gru_cell(next(keys), _object_segment_input_size(cfg), h, bias=bias)
+
+    # Message parameter bundles per enabled edge type (reference models.py:321-520).
+    for flag, name in [
+        (cfg.message_humans_to_human, "h2h"),
+        (cfg.message_human_to_objects, "h2o"),
+        (cfg.message_objects_to_human, "o2h"),
+        (cfg.message_objects_to_object, "o2o"),
+        (cfg.message_geometry_to_human, "s2h"),
+        (cfg.message_geometry_to_objects, "s2o"),
+    ]:
+        if not flag:
+            continue
+        params[name] = {"frame": _init_message_params(next(keys), cfg, segment=False)}
+        if cfg.message_segment and name not in ("s2h", "s2o"):
+            # Geometry edges have no segment-level message (reference :283-285, :305-306).
+            params[name]["segment"] = _init_message_params(next(keys), cfg, segment=True)
+
+    # Discrete update MLPs (reference models.py:522-548).
+    num_hidden = cfg.discrete_networks_num_layers - 1
+    upd_h_in = 2 * h
+    if cfg.message_humans_to_human:
+        upd_h_in += h
+    if cfg.message_objects_to_human:
+        upd_h_in += h
+    if cfg.message_geometry_to_human:
+        upd_h_in += h
+    if cfg.add_time_position and cfg.time_position_strategy == "u":
+        upd_h_in += h
+    dims = [upd_h_in] + [h] * num_hidden + [1]
+    params["update_human_segment_mlp"] = init_mlp(next(keys), dims, bias=bias)
+    if cfg.object_segment_update_strategy not in {"same_as_human", "sah"}:
+        upd_o_in = 2 * h
+        if cfg.message_human_to_objects:
+            upd_o_in += h
+        if cfg.message_objects_to_object:
+            upd_o_in += h
+        if cfg.message_geometry_to_objects:
+            upd_o_in += h
+        if cfg.add_time_position and cfg.time_position_strategy == "u":
+            upd_o_in += h
+        dims = [upd_o_in] + [h] * num_hidden + [1]
+        params["update_object_segment_mlp"] = init_mlp(next(keys), dims, bias=bias)
+
+    # Recognition/prediction heads (reference models.py:552-580).
+    label_in = 2 * h + (2 * h if cfg.cat_level_states else 0)
+    params["human_recognition_mlp"] = init_mlp(next(keys), [label_in, num_subactivities], bias=bias)
+    params["human_prediction_mlp"] = init_mlp(next(keys), [label_in, num_subactivities], bias=bias)
+    if num_affordances is not None:
+        params["object_recognition_mlp"] = init_mlp(next(keys), [label_in, num_affordances], bias=bias)
+        params["object_prediction_mlp"] = init_mlp(next(keys), [label_in, num_affordances], bias=bias)
+    if cfg.share_level_mlps and not cfg.cat_level_states:
+        params["human_frame_recognition_mlp"] = params["human_recognition_mlp"]
+        params["human_frame_prediction_mlp"] = params["human_prediction_mlp"]
+        if num_affordances is not None:
+            params["object_frame_recognition_mlp"] = params["object_recognition_mlp"]
+            params["object_frame_prediction_mlp"] = params["object_prediction_mlp"]
+    else:
+        params["human_frame_recognition_mlp"] = init_mlp(next(keys), [2 * h, num_subactivities], bias=bias)
+        params["human_frame_prediction_mlp"] = init_mlp(next(keys), [2 * h, num_subactivities], bias=bias)
+        if num_affordances is not None:
+            params["object_frame_recognition_mlp"] = init_mlp(next(keys), [2 * h, num_affordances], bias=bias)
+            params["object_frame_prediction_mlp"] = init_mlp(next(keys), [2 * h, num_affordances], bias=bias)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward helpers
+# ---------------------------------------------------------------------------
+
+
+def _frame_bigru(params_rnn, params_mlp, x):
+    """Per-entity BiGRU + embedding MLP (reference _process_frame_level_rnn).
+
+    x (B, T, E, h); entities fold into the batch axis so the scan body runs a
+    single (B*E, 3h) recurrent matmul per step.
+    """
+    b, t, e, f = x.shape
+    x_f = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * e, t, f)
+    h_fr = run_bigru(params_rnn, x_f)
+    h_fr = h_fr.reshape(b, e, t, -1).transpose(0, 2, 1, 3)  # (B, T, E, 2h)
+    h_f = apply_mlp(params_mlp, h_fr, activations=["relu"])
+    return h_f, h_fr
+
+
+def _cat_valid(tensors, axis=-1):
+    return jnp.concatenate([t for t in tensors if t is not None], axis=axis)
+
+
+def _split_geometry(x_human):
+    """Dataset dispatch on human feature width (reference models.py:630-639)."""
+    width = x_human.shape[3]
+    if width == 2124:       # CAD-120
+        split = 2048
+        x_geo = x_human[:, :, 0, split:]
+    elif width == 2168:     # Bimanual
+        split = 2048
+        x_geo = x_human[:, :, 0, split:]
+    else:                   # MPHOI (2152)
+        split = 2048
+        x_geo = x_human[:, :, 0, split:]
+    return x_human[..., :split], x_geo
+
+
+# ---------------------------------------------------------------------------
+# Forward pass
+# ---------------------------------------------------------------------------
+
+
+def apply_tggcn(params: dict, cfg: TGGCNConfig,
+                x_human: jnp.ndarray, x_objects: jnp.ndarray, objects_mask: jnp.ndarray,
+                human_segmentation: Optional[jnp.ndarray] = None,
+                objects_segmentation: Optional[jnp.ndarray] = None,
+                human_human_distances: Optional[jnp.ndarray] = None,
+                human_object_distances: Optional[jnp.ndarray] = None,
+                object_object_distances: Optional[jnp.ndarray] = None,
+                steps_per_example: Optional[jnp.ndarray] = None,
+                train: bool = False, rng: Optional[jax.Array] = None,
+                inspect_model: bool = False):
+    """Forward pass. Returns (outputs list, aux dict).
+
+    aux contains 'bn_state' (updated GeoGCN BatchNorm statistics when
+    train=True) and, if inspect_model, 'attention_scores'
+    [frame, segment-fwd, segment-bwd] each (B, H, T, O).
+    """
+    b, t, num_humans = x_human.shape[0], x_human.shape[1], x_human.shape[2]
+    num_objects = x_objects.shape[2]
+    hidden = cfg.hidden_size
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    rng_h, rng_o = jax.random.split(rng)
+
+    # --- Geometry stream -------------------------------------------------
+    x_vis, x_geometry = _split_geometry(x_human)
+    vw = x_geometry.shape[-1]
+    x_geometry = x_geometry.reshape(b, t, vw // 4, 4)
+    geo_out, bn_state = apply_geo_gcn(params["geometry_embedding_gcn"], x_geometry, train=train)
+    # Reference quirk (models.py:644-645): the (B, 128, V, T) GCN output is
+    # raw-memory reshaped to (B, T, 1, 128*V), which scrambles (channel, node,
+    # time) into per-"frame" blocks. Reproduced bit-for-bit for parity.
+    geo_flat = jnp.transpose(geo_out, (0, 3, 2, 1)).reshape(b, t, 1, geo_out.shape[-1] * vw // 4)
+    x_geo_emb = apply_mlp(params["geometry_embedding_mlp"], geo_flat, activations=["relu", "relu"])
+    x_hum_emb = apply_mlp(params["human_embedding_mlp"], x_vis, activations=["relu"])
+    x_obj_emb = apply_mlp(params["object_embedding_mlp"], x_objects, activations=["relu"])
+
+    # --- Frame-level BiGRUs ----------------------------------------------
+    h_hf, h_hfr = _frame_bigru(params["human_bd_rnn"], params["human_bd_embedding_mlp"], x_hum_emb)
+    h_of, h_ofr = _frame_bigru(params["object_bd_rnn"], params["object_bd_embedding_mlp"], x_obj_emb)
+    h_sf, _h_sfr = _frame_bigru(params["geometry_bd_rnn"], params["geometry_bd_embedding_mlp"], x_geo_emb)
+
+    # --- Positional features ---------------------------------------------
+    ignore_div = cfg.positional_encoding_style in {"p", "periodic"}
+    x_time_emb = None
+    if cfg.add_time_position:
+        x_time = assemble_time_tensor(steps_per_example, t, ignore_div)  # (T, B, 1)
+        if cfg.embedding_positional:
+            x_time = apply_mlp(params["time_position_mlp"], x_time, activations=["relu"])
+        else:
+            x_time = make_periodic_embedding(x_time, hidden)
+        x_time_emb = jnp.transpose(x_time, (1, 0, 2))  # (B, T, hidden)
+
+    # --- Frame-level messages (vectorised over B, T) ----------------------
+    mkw = cfg.message_kwargs()
+    obj_mask_bt = objects_mask[:, None, :]  # (B, 1, O) broadcasts over T
+
+    def frame_msg(name, receivers, senders, mask, exclude_self=False, dists=None):
+        recv = jnp.concatenate(receivers, axis=-1)
+        send = jnp.concatenate(senders, axis=-1)
+        return compute_message_features(params[name]["frame"], recv, send, mask,
+                                        exclude_self=exclude_self, distances=dists, **mkw)
+
+    dist_based = human_object_distances is not None or human_human_distances is not None \
+        or object_object_distances is not None
+
+    m_hh = m_oh = m_sh = None
+    att_frame = None
+    if cfg.message_humans_to_human:
+        hh_d = human_human_distances if dist_based and human_human_distances is not None else None
+        m_hh, _ = frame_msg("h2h", [x_hum_emb, h_hf], [x_hum_emb, h_hf], None,
+                            exclude_self=True, dists=hh_d)
+    if cfg.message_objects_to_human:
+        ho_d = human_object_distances if dist_based and human_object_distances is not None else None
+        m_oh, att_frame = frame_msg("o2h", [x_hum_emb, h_hf], [x_obj_emb, h_of],
+                                    obj_mask_bt[:, :, None, :], dists=ho_d)
+    if cfg.message_geometry_to_human:
+        m_sh, _ = frame_msg("s2h", [x_hum_emb, h_hf], [x_geo_emb, h_sf], None)
+
+    m_ho = m_so = m_oo = None
+    if cfg.message_human_to_objects:
+        oh_d = None
+        if dist_based and human_object_distances is not None:
+            oh_d = jnp.swapaxes(human_object_distances, 2, 3)  # (B, T, O, H)
+        m_ho, _ = frame_msg("h2o", [x_obj_emb, h_of], [x_hum_emb, h_hf], None, dists=oh_d)
+        m_ho = m_ho * objects_mask[:, None, :, None]
+    if cfg.message_geometry_to_objects:
+        m_so, _ = frame_msg("s2o", [x_obj_emb, h_of], [x_geo_emb, h_sf], None)
+        m_so = m_so * objects_mask[:, None, :, None]
+    if cfg.message_objects_to_object:
+        oo_d = object_object_distances if dist_based and object_object_distances is not None else None
+        m_oo, _ = frame_msg("o2o", [x_obj_emb, h_of], [x_obj_emb, h_of],
+                            obj_mask_bt[:, :, None, :], exclude_self=True, dists=oo_d)
+
+    # --- Discrete update decisions (vectorised over B, T, E) --------------
+    x_tt = None
+    if cfg.add_time_position and cfg.time_position_strategy == "u":
+        x_tt = x_time_emb[:, :, None, :]  # (B, T, 1, hidden)
+
+    def broadcast_tt(num_entities):
+        if x_tt is None:
+            return None
+        return jnp.broadcast_to(x_tt, (b, t, num_entities, hidden))
+
+    if human_segmentation is not None:
+        u_h_hard = u_h_soft = human_segmentation.astype(x_human.dtype)
+    else:
+        upd_in = _cat_valid([x_hum_emb, h_hf, m_hh, m_oh, m_sh, broadcast_tt(num_humans)])
+        u_soft = apply_mlp(params["update_human_segment_mlp"], upd_in,
+                           activations=["relu"] * (cfg.discrete_networks_num_layers - 1) + ["sigmoid"])
+        u_h_hard, u_h_soft = discrete_estimator(
+            u_soft, strategy=cfg.discrete_optimization_strategy,
+            threshold=cfg.update_segment_threshold, key=rng_h)
+        u_h_hard, u_h_soft = u_h_hard[..., 0], u_h_soft[..., 0]  # (B, T, H)
+        # Forced commit at the final padded step (reference models.py:701-702).
+        u_h_hard = u_h_hard.at[:, -1, :].set(1.0)
+
+    if objects_segmentation is not None:
+        u_o_hard = u_o_soft = objects_segmentation.astype(x_human.dtype)
+    else:
+        # The human decision conditions the object decision only in the
+        # single-human case (reference models.py:741-742).
+        u_hst = u_h_hard[..., 0:1] if num_humans == 1 else None
+        u_hsts = u_h_soft[..., 0:1] if num_humans == 1 else None
+        if cfg.object_segment_update_strategy in {"same_as_human", "sah"} and u_hst is not None:
+            u_o_hard = jnp.broadcast_to(u_hst, (b, t, num_objects))
+            u_o_soft = jnp.broadcast_to(u_hsts, (b, t, num_objects))
+        else:
+            upd_in = _cat_valid([x_obj_emb, h_of, m_ho, m_oo, m_so, broadcast_tt(num_objects)])
+            u_soft = apply_mlp(params["update_object_segment_mlp"], upd_in,
+                               activations=["relu"] * (cfg.discrete_networks_num_layers - 1) + ["sigmoid"])
+            u_o_hard, u_o_soft = discrete_estimator(
+                u_soft, strategy=cfg.discrete_optimization_strategy,
+                threshold=cfg.update_segment_threshold, key=rng_o)
+            u_o_hard, u_o_soft = u_o_hard[..., 0], u_o_soft[..., 0]
+            if cfg.object_segment_update_strategy in {"conditional_on_human", "coh"} and u_hst is not None:
+                u_o_hard = u_o_hard * u_hst
+            u_o_hard = u_o_hard.at[:, -1, :].set(1.0)
+
+    # --- Optional decision filtering (reference models.py:750-753) --------
+    u_h_used, u_o_used = u_h_hard, u_o_hard
+    if cfg.filter_discrete_updates:
+        u_h_used = filter_soft_decisions(u_h_soft, cfg.update_segment_threshold)
+        u_o_used = filter_soft_decisions(u_o_soft, cfg.update_segment_threshold)
+
+    # --- Segment-level inputs ---------------------------------------------
+    x_hs = _cat_valid([h_hf, m_hh, m_oh, m_sh])                       # (B, T, H, F)
+    x_os = _cat_valid([h_of, m_ho, m_so, m_oo])                       # (B, T, O, F)
+    if cfg.add_time_position and cfg.time_position_strategy == "s":
+        x_hs = jnp.concatenate([x_hs, jnp.broadcast_to(x_time_emb[:, :, None, :],
+                                                       (b, t, num_humans, hidden))], axis=-1)
+        x_os = jnp.concatenate([x_os, jnp.broadcast_to(x_time_emb[:, :, None, :],
+                                                       (b, t, num_objects, hidden))], axis=-1)
+    if cfg.add_segment_length:
+        def seg_len_features(u_used):
+            x_sl = assemble_segment_length_tensor(u_used, steps_per_example, ignore_div)
+            if cfg.embedding_positional:
+                return apply_mlp(params["segment_length_mlp"], x_sl, activations=["relu"])
+            return make_periodic_embedding(x_sl, hidden)
+        x_hs = jnp.concatenate([x_hs, seg_len_features(u_h_used)], axis=-1)
+        x_os = jnp.concatenate([x_os, seg_len_features(u_o_used)], axis=-1)
+
+    # --- Segment-level gated bidirectional scan ----------------------------
+    seg = _segment_scan(params, cfg, x_hs, x_os, u_h_used, u_o_used, objects_mask,
+                        human_human_distances, human_object_distances,
+                        object_object_distances)
+    hx_hs, hx_os, att_seg_f, att_seg_b = seg
+
+    # --- Reorder: every frame labelled with its segment's final state ------
+    def reorder_entities(hx, u):
+        # (B, T, E, F), (B, T, E) -> fold entities into batch for the scan.
+        n_e = hx.shape[2]
+        hx_f = jnp.transpose(hx, (0, 2, 1, 3)).reshape(b * n_e, t, hx.shape[-1])
+        u_f = jnp.transpose(u, (0, 2, 1)).reshape(b * n_e, t)
+        out = reorder_hidden_states(hx_f, u_f)
+        return out.reshape(b, n_e, t, -1).transpose(0, 2, 1, 3)
+
+    hx_hs = reorder_entities(hx_hs, u_h_used)
+    hx_os = reorder_entities(hx_os, u_o_used)
+    if cfg.cat_level_states:
+        hx_hs = jnp.concatenate([hx_hs, h_hfr], axis=-1)
+        hx_os = jnp.concatenate([hx_os, h_ofr], axis=-1)
+
+    # --- Heads -------------------------------------------------------------
+    def head(name, x):
+        out = apply_mlp(params[name], x, activations=[{"name": "logsoftmax", "dim": -1}])
+        return jnp.transpose(out, (0, 3, 1, 2))  # (B, C, T, E)
+
+    y_hs, y_os = u_h_used, u_o_used
+    y_hss, y_oss = u_h_soft, u_o_soft
+    y_hf_rec = head("human_frame_recognition_mlp", h_hfr)
+    y_hf_pred = head("human_frame_prediction_mlp", h_hfr)
+    y_h_rec = head("human_recognition_mlp", hx_hs)
+    y_h_pred = head("human_prediction_mlp", hx_hs)
+    if cfg.num_classes[1] is not None:
+        y_of_rec = head("object_frame_recognition_mlp", h_ofr)
+        y_of_pred = head("object_frame_prediction_mlp", h_ofr)
+        y_o_rec = head("object_recognition_mlp", hx_os)
+        y_o_pred = head("object_prediction_mlp", hx_os)
+        output = [y_hs, y_os, y_hss, y_oss,
+                  y_hf_rec, y_hf_pred, y_of_rec, y_of_pred,
+                  y_h_rec, y_h_pred, y_o_rec, y_o_pred]
+    else:
+        output = [y_hs, y_hss, y_hf_rec, y_hf_pred, y_h_rec, y_h_pred]
+
+    aux = {"bn_state": bn_state}
+    if inspect_model:
+        # (B, T, H, O) -> (B, H, T, O), matching the reference stacking
+        # (models.py:927-931).
+        to_ref = lambda a: jnp.transpose(a, (0, 2, 1, 3))
+        aux["attention_scores"] = [to_ref(att_frame), to_ref(att_seg_f), to_ref(att_seg_b)]
+    return output, aux
+
+
+def _segment_scan(params, cfg: TGGCNConfig, x_hs, x_os, u_h, u_o, objects_mask,
+                  hh_dists, ho_dists, oo_dists):
+    """Gated bidirectional segment-level GRU over time.
+
+    One lax.scan processes forward step tf=i and backward step tb=T-1-i in
+    lockstep (the reference's paired loop, models.py:785-880). All segment
+    messages read the carry (states committed through the previous step);
+    the carry commits at the end of the scan body.
+
+    Returns (hx_hs (B,T,H,2h), hx_os (B,T,O,2h), att_seg_fwd, att_seg_bwd).
+    """
+    b, t, num_humans, _ = x_hs.shape
+    num_objects = x_os.shape[2]
+    h = cfg.hidden_size
+    mkw = cfg.message_kwargs()
+    msg_seg = cfg.message_segment
+    dtype = x_hs.dtype
+
+    # Hoist the input-side GRU projections of the precomputed (non-message)
+    # part out of the scan: one large (B*T*E, F) @ (F, 3h) MXU matmul each.
+    def base_gates(cell, x):
+        w = params[cell]["w_ih"]
+        base_dim = x.shape[-1]
+        gi = x @ w[:base_dim]
+        if "b_ih" in params[cell]:
+            gi = gi + params[cell]["b_ih"]
+        return gi
+
+    gi_hf = base_gates("human_segment_rnn_fcell", x_hs)   # (B, T, H, 3h)
+    gi_hb = base_gates("human_segment_rnn_bcell", x_hs)
+    gi_of = base_gates("object_segment_rnn_fcell", x_os)
+    gi_ob = base_gates("object_segment_rnn_bcell", x_os)
+
+    def msg_gates(cell, msgs, base_dim):
+        w = params[cell]["w_ih"]
+        return msgs @ w[base_dim:]
+
+    # Time-major inputs for the scan.
+    tm = lambda a: jnp.moveaxis(a, 1, 0) if a is not None else None
+    gi_hf_t, gi_hb_t = tm(gi_hf), tm(gi_hb)
+    gi_of_t, gi_ob_t = tm(gi_of), tm(gi_ob)
+    u_h_t, u_o_t = tm(u_h), tm(u_o)
+    hh_t, ho_t, oo_t = tm(hh_dists), tm(ho_dists), tm(oo_dists)
+
+    base_h = x_hs.shape[-1]
+    base_o = x_os.shape[-1]
+
+    def seg_message(name, receiver_states, sender_states, mask, exclude_self=False, dists=None):
+        return compute_message_features(params[name]["segment"], receiver_states, sender_states,
+                                        mask, exclude_self=exclude_self, distances=dists, **mkw)
+
+    def entity_step(cell, gi_base, msgs, u, h_prev):
+        gi = gi_base
+        if msgs is not None:
+            gi = gi + msg_gates(cell, msgs, base_h if "human" in cell else base_o)
+        h_new = gru_step_from_gates(params[cell], gi, h_prev)
+        u = u[..., None]
+        return u * h_new + (1.0 - u) * h_prev
+
+    obj_mask_r = objects_mask[:, None, :]  # (B, 1, O) broadcast over receivers
+
+    def step(carry, inp):
+        h_hf_c, h_hb_c, h_of_c, h_ob_c = carry
+        (gi_hf_i, gi_of_i, u_h_i, u_o_i,
+         gi_hb_i, gi_ob_i, u_h_bi, u_o_bi,
+         hh_f, ho_f, oo_f, hh_b, ho_b, oo_b) = inp
+
+        att_f = att_b = jnp.zeros((b, num_humans, num_objects), dtype=dtype)
+
+        def seg_msgs_for_humans(h_h_c, h_o_c, hh_d, ho_d):
+            msgs, att = None, None
+            if msg_seg:
+                parts = []
+                if cfg.message_humans_to_human:
+                    mg_hh, _ = seg_message("h2h", h_h_c, h_h_c, None,
+                                           exclude_self=True, dists=hh_d)
+                    parts.append(mg_hh)
+                if cfg.message_objects_to_human:
+                    mg_oh, att = seg_message("o2h", h_h_c, h_o_c, obj_mask_r, dists=ho_d)
+                    parts.append(mg_oh)
+                if parts:
+                    msgs = jnp.concatenate(parts, axis=-1)
+            return msgs, att
+
+        def seg_msgs_for_objects(h_o_c, h_h_c, oh_d, oo_d):
+            msgs = None
+            if msg_seg:
+                parts = []
+                if cfg.message_human_to_objects:
+                    mg_ho, _ = seg_message("h2o", h_o_c, h_h_c, None, dists=oh_d)
+                    parts.append(mg_ho)
+                if cfg.message_objects_to_object:
+                    mg_oo, _ = seg_message("o2o", h_o_c, h_o_c, obj_mask_r,
+                                           exclude_self=True, dists=oo_d)
+                    parts.append(mg_oo)
+                if parts:
+                    msgs = jnp.concatenate(parts, axis=-1)
+            return msgs
+
+        oh_f = jnp.swapaxes(ho_f, 1, 2) if ho_f is not None else None
+        oh_b = jnp.swapaxes(ho_b, 1, 2) if ho_b is not None else None
+
+        msgs_hf, a_f = seg_msgs_for_humans(h_hf_c, h_of_c, hh_f, ho_f)
+        msgs_hb, a_b = seg_msgs_for_humans(h_hb_c, h_ob_c, hh_b, ho_b)
+        msgs_of = seg_msgs_for_objects(h_of_c, h_hf_c, oh_f, oo_f)
+        msgs_ob = seg_msgs_for_objects(h_ob_c, h_hb_c, oh_b, oo_b)
+        if a_f is not None:
+            att_f = a_f
+        if a_b is not None:
+            att_b = a_b
+
+        h_hf_n = entity_step("human_segment_rnn_fcell", gi_hf_i, msgs_hf, u_h_i, h_hf_c)
+        h_hb_n = entity_step("human_segment_rnn_bcell", gi_hb_i, msgs_hb, u_h_bi, h_hb_c)
+        h_of_n = entity_step("object_segment_rnn_fcell", gi_of_i, msgs_of, u_o_i, h_of_c)
+        h_ob_n = entity_step("object_segment_rnn_bcell", gi_ob_i, msgs_ob, u_o_bi, h_ob_c)
+
+        return (h_hf_n, h_hb_n, h_of_n, h_ob_n), (h_hf_n, h_hb_n, h_of_n, h_ob_n, att_f, att_b)
+
+    init = (jnp.zeros((b, num_humans, h), dtype=dtype),
+            jnp.zeros((b, num_humans, h), dtype=dtype),
+            jnp.zeros((b, num_objects, h), dtype=dtype),
+            jnp.zeros((b, num_objects, h), dtype=dtype))
+
+    def rev(a):
+        return a[::-1]
+
+    # Distance tensors may be None -> thread dummy (T,1,1,1) zeros through
+    # the scan and use static Python flags to decide whether they are read.
+    zero3 = jnp.zeros((t, 1, 1, 1), dtype=dtype)
+    hh_t_f = hh_t if hh_t is not None else zero3
+    ho_t_f = ho_t if ho_t is not None else zero3
+    oo_t_f = oo_t if oo_t is not None else zero3
+    hh_t_b, ho_t_b, oo_t_b = rev(hh_t_f), rev(ho_t_f), rev(oo_t_f)
+
+    def maybe(d, flag):
+        return d if flag else None
+
+    # Build the scan with closures over which dists exist (static).
+    def step_wrapper(carry, inp):
+        (gi_hf_i, gi_of_i, u_h_i, u_o_i, gi_hb_i, gi_ob_i, u_h_bi, u_o_bi,
+         hh_f, ho_f, oo_f, hh_b, ho_b, oo_b) = inp
+        return step(carry, (gi_hf_i, gi_of_i, u_h_i, u_o_i,
+                            gi_hb_i, gi_ob_i, u_h_bi, u_o_bi,
+                            maybe(hh_f, hh_t is not None), maybe(ho_f, ho_t is not None),
+                            maybe(oo_f, oo_t is not None), maybe(hh_b, hh_t is not None),
+                            maybe(ho_b, ho_t is not None), maybe(oo_b, oo_t is not None)))
+
+    xs = (gi_hf_t, gi_of_t, u_h_t, u_o_t,
+          rev(gi_hb_t), rev(gi_ob_t), rev(u_h_t), rev(u_o_t),
+          hh_t_f, ho_t_f, oo_t_f, hh_t_b, ho_t_b, oo_t_b)
+    _, (h_hf_seq, h_hb_seq, h_of_seq, h_ob_seq, att_f_seq, att_b_seq) = \
+        jax.lax.scan(step_wrapper, init, xs)
+
+    # Forward outputs are time-ordered; backward outputs were produced at
+    # tb = T-1-i and must be flipped back to time order.
+    def order(fwd_seq, bwd_seq):
+        fwd = jnp.moveaxis(fwd_seq, 0, 1)           # (B, T, E, h)
+        bwd = jnp.moveaxis(bwd_seq[::-1], 0, 1)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+    hx_hs = order(h_hf_seq, h_hb_seq)
+    hx_os = order(h_of_seq, h_ob_seq)
+    att_seg_f = jnp.moveaxis(att_f_seq, 0, 1)       # (B, T, H, O)
+    att_seg_b = jnp.moveaxis(att_b_seq[::-1], 0, 1)
+    return hx_hs, hx_os, att_seg_f, att_seg_b
