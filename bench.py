@@ -1,0 +1,95 @@
+"""Benchmark: 2G-GCN MPHOI-shaped training-step throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (matching the reference's headline MPHOI configuration,
+conf/models/2G-GCN_stage1.yaml + conf/data/mphoi.yaml): hidden 512, batch 8,
+T = 167 downsampled frames (~500 raw @ downsampling 3), 2 humans, 4 objects,
+full stage-1 training step (forward + backward + Adam) on synthetic data.
+
+vs_baseline compares against the reference PyTorch implementation running
+the same step on this host's CPU (measured by tools/bench_reference.py and
+recorded in BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Reference PyTorch-CPU throughput on this host (tools/bench_reference.py,
+# B=8, T=167, hidden=512; see BASELINE.md).
+REFERENCE_CPU_CLIPS_PER_SEC = None  # filled after measurement; see BASELINE.md
+
+
+def main():
+    import jax
+    import optax
+
+    from tggcn.config import Config
+    from tggcn.data.loading import select_model_data_feeder, select_model_data_fetcher
+    from tggcn.models import select_model
+    from tggcn.train.loop import make_train_step
+    from tggcn.train.losses import select_loss
+
+    b, t, num_humans, num_objects, hidden = 8, 167, 2, 4, 512
+    model = select_model(
+        "2G-GCN", input_size=(2152, 2048), num_classes=(13, None),
+        hidden_size=hidden, gcn_node=26,
+        message_humans_to_human=True, message_human_to_objects=True,
+        message_objects_to_human=True, message_objects_to_object=True,
+        message_geometry_to_objects=True, message_segment=True,
+        message_type="v2", message_granularity="v1", message_aggregation="att",
+        attention_style="v3", discrete_optimization_strategy="gs",
+        object_segment_update_strategy="ind")
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = optax.adam(1e-4)
+
+    cfg = Config({"misc": Config({})})
+    criterion, _ = select_loss("2G-GCN", "multiple", "mphoi", cfg=cfg)
+    feeder = select_model_data_feeder("2G-GCN", "multiple", dataset_name="mphoi",
+                                      impose_segmentation_pattern=1)
+    fetcher = select_model_data_fetcher("2G-GCN", "multiple", dataset_name="mphoi")
+
+    rng = np.random.default_rng(0)
+    x_human = rng.normal(size=(b, t, num_humans, 2152)).astype(np.float32)
+    x_objects = rng.normal(size=(b, t, num_objects, 2048)).astype(np.float32)
+    mask = np.ones((b, num_objects), dtype=np.float32)
+    steps = np.full((b,), float(t), dtype=np.float32)
+    x_hseg = np.ones((b, t, num_humans), dtype=np.float32)
+    dummy = np.zeros((b, 1, 1, 1), dtype=np.float32)
+    y_seg = rng.integers(0, 2, size=(b, t, num_humans)).astype(np.float32)
+    y_rec = rng.integers(0, 13, size=(b, t, num_humans)).astype(np.int64)
+    batch = [x_human, x_objects, mask, x_hseg, dummy, dummy, dummy, steps,
+             y_seg, y_seg, y_rec, y_rec, y_rec, y_rec]
+    data, targets = fetcher(batch)
+
+    step = make_train_step(model, feeder, criterion, optimizer, mtll=None)
+    trainable = {"model": params}
+    opt_state = optimizer.init(trainable)
+
+    # Warmup / compile.
+    key = jax.random.PRNGKey(0)
+    trainable, opt_state, losses, _ = step(trainable, opt_state, key, data, targets)
+    jax.block_until_ready(losses)
+
+    num_steps = 10
+    start = time.perf_counter()
+    for i in range(num_steps):
+        trainable, opt_state, losses, _ = step(trainable, opt_state,
+                                               jax.random.fold_in(key, i), data, targets)
+    jax.block_until_ready(losses)
+    elapsed = time.perf_counter() - start
+    clips_per_sec = num_steps * b / elapsed
+    vs_baseline = (clips_per_sec / REFERENCE_CPU_CLIPS_PER_SEC
+                   if REFERENCE_CPU_CLIPS_PER_SEC else None)
+    print(json.dumps({
+        "metric": "mphoi_2ggcn_train_clips_per_sec",
+        "value": round(clips_per_sec, 3),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

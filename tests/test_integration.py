@@ -1,0 +1,108 @@
+"""End-to-end integration: train.py -> run dir -> predict.py on synthetic data."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tggcn.data.synthetic import generate_cad120_dataset, generate_mphoi_dataset
+
+
+def _mphoi_overrides(paths, tmp_path, subject="Subject45"):
+    return [
+        "models=2G-GCN_stage1", "data=mphoi",
+        f"data.path={paths['path']}",
+        f"data.path_zarr={paths['path_zarr']}",
+        f"data.path_obb_zarr={paths['path_obb_zarr']}",
+        f"data.path_hbb_zarr={paths['path_hbb_zarr']}",
+        f"data.path_hps_zarr={paths['path_hps_zarr']}",
+        f"data.cross_validation_test_subject={subject}",
+        "parameters.hidden_size=16",
+        "optimization.epochs=2",
+        "optimization.batch_size=2",
+        "optimization.val_fraction=0.25",
+        f"logging.root_log_dir={tmp_path}/outputs/mphoi/2G-GCN",
+    ]
+
+
+@pytest.mark.slow
+def test_train_and_predict_mphoi_stage1(tmp_path):
+    import predict as predict_cli
+    import train as train_cli
+
+    paths = generate_mphoi_dataset(str(tmp_path / "data"), num_videos=8,
+                                   min_len=24, max_len=42, seed=11)
+    checkpoint = train_cli.main(_mphoi_overrides(paths, tmp_path))
+    assert "model_state_dict" in checkpoint
+    assert len(checkpoint["train_losses"]) == 2
+    assert len(checkpoint["val_losses"]) == 2
+    # Run-dir contract: frozen config + named checkpoint + fault-tolerance snapshot.
+    run_dir = os.path.join(str(tmp_path), "outputs", "mphoi", "2G-GCN",
+                           "hs16_e2_bs2_lr0.0001_0.5_Subject45")
+    assert os.path.exists(os.path.join(run_dir, ".hydra", "config.yaml"))
+    assert os.path.exists(os.path.join(run_dir, "hs16_e2_bs2_lr0.0001_0.5_Subject45.ckpt"))
+    assert os.path.exists(os.path.join(run_dir, "last.ckpt"))
+
+    outputs, targets, test_ids = predict_cli.predict(run_dir)
+    assert set(outputs) == {"sub-activity_recognition", "sub-activity_prediction"}
+    y = outputs["sub-activity_recognition"]
+    t = targets["sub-activity_recognition"]
+    assert y.shape == t.shape and y.shape[2] == 2  # (N, T_full, 2 humans)
+    # Labels at full FPS; predictions upsampled to match.
+    assert len(test_ids) == y.shape[0]
+    # Metric plumbing runs.
+    results = predict_cli.evaluate_predictions(targets, outputs, print_report=False)
+    assert "sub-activity_recognition-micro" in results
+    f1 = predict_cli.evaluate_f1_at_k(targets, outputs, 13, None, overlap=0.10)
+    assert 0.0 <= f1["sub-activity_recognition"] <= 1.0
+
+
+@pytest.mark.slow
+def test_train_and_predict_cad120_baseline(tmp_path):
+    import predict as predict_cli
+    import train as train_cli
+
+    paths = generate_cad120_dataset(str(tmp_path / "data"), num_videos=8,
+                                    min_len=24, max_len=42, seed=12)
+    overrides = [
+        "models=cad120_baseline", "data=cad120",
+        f"data.path={paths['path']}",
+        f"data.path_zarr={paths['path_zarr']}",
+        f"data.video_id_to_subject_id={paths['video_id_to_subject_id']}",
+        "data.cross_validation_test_subject=Subject1",
+        "parameters.hidden_size=8",
+        "optimization.epochs=1",
+        "optimization.batch_size=2",
+        "optimization.val_fraction=0.25",
+        f"logging.root_log_dir={tmp_path}/outputs/cad120/cad120_baseline",
+    ]
+    checkpoint = train_cli.main(overrides)
+    assert "model_state_dict" in checkpoint
+    run_dir = os.path.join(
+        str(tmp_path), "outputs", "cad120", "cad120_baseline",
+        "hs8_e1_bs2_lr0.001_bd-True_mp-True_sc-None_gc0.0_ds3_Subject1")
+    assert os.path.isdir(run_dir), os.listdir(os.path.dirname(run_dir))
+    outputs, targets, test_ids = predict_cli.predict(run_dir)
+    assert set(outputs) == {"sub-activity_recognition", "affordance_recognition"}
+    assert outputs["affordance_recognition"].shape == targets["affordance_recognition"].shape
+
+
+@pytest.mark.slow
+def test_stage2_warm_start_from_stage1(tmp_path):
+    import train as train_cli
+
+    paths = generate_mphoi_dataset(str(tmp_path / "data"), num_videos=8,
+                                   min_len=24, max_len=36, seed=13)
+    train_cli.main(_mphoi_overrides(paths, tmp_path))
+    stage1_dir = os.path.join(str(tmp_path), "outputs", "mphoi", "2G-GCN",
+                              "hs16_e2_bs2_lr0.0001_0.5_Subject45")
+    overrides = _mphoi_overrides(paths, tmp_path)
+    overrides[0] = "models=2G-GCN_stage2"
+    overrides += [f"misc.pretrained_path={stage1_dir}", "optimization.epochs=1"]
+    checkpoint = train_cli.main(overrides)
+    assert "model_state_dict" in checkpoint
+    # Stage 2 has the BCE segmentation loss active.
+    assert len(checkpoint["train_losses"][0][1]) == 6

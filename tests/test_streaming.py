@@ -1,0 +1,69 @@
+"""Streaming sliding-window inference: exactness vs the offline forward.
+
+With GT segmentation ('st'-deterministic decisions) and lookahead covering
+the remaining sequence, the windowed streaming path must reproduce the
+offline bidirectional forward exactly: the forward carries are sliced at the
+emit boundary and the backward direction sees full future context.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from tggcn.models.streaming import StreamingRunner
+from tggcn.models.tggcn import TGGCNConfig, apply_tggcn, init_tggcn
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    # geometry_flatten='per_frame': the reference's scrambled geometry
+    # reshape couples features to the clip length, which is incompatible
+    # with exact windowing (documented in TGGCNConfig).
+    cfg = TGGCNConfig(
+        input_size=(2152, 2048), num_classes=(13, None), hidden_size=12,
+        gcn_node=26, message_humans_to_human=True, message_segment=True,
+        message_type="v2", message_granularity="v1", message_aggregation="att",
+        attention_style="v3", discrete_optimization_strategy="st",
+        object_segment_update_strategy="ind", geometry_flatten="per_frame")
+    params = init_tggcn(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _inputs(t=12, b=1, num_humans=2, num_objects=2, seed=5):
+    rng = np.random.default_rng(seed)
+    x_human = rng.normal(size=(b, t, num_humans, 2152)).astype(np.float32)
+    x_objects = rng.normal(size=(b, t, num_objects, 2048)).astype(np.float32)
+    mask = np.ones((b, num_objects), dtype=np.float32)
+    seg = (rng.uniform(size=(b, t, num_humans)) > 0.6).astype(np.float32)
+    seg[:, -1] = 1.0
+    return x_human, x_objects, mask, seg
+
+
+def test_streaming_matches_offline_with_full_lookahead(small_model):
+    cfg, params = small_model
+    t = 12
+    x_human, x_objects, mask, seg = _inputs(t=t)
+    offline, _ = apply_tggcn(params, cfg, x_human, x_objects, mask,
+                             human_segmentation=seg,
+                             steps_per_example=np.full((1,), float(t), np.float32),
+                             train=False, rng=jax.random.PRNGKey(42))
+    runner = StreamingRunner(params, cfg, window=6, lookahead=6,
+                             rng=jax.random.PRNGKey(42))
+    streamed = runner.run(x_human, x_objects, mask, human_segmentation=seg)
+    assert len(streamed) == len(offline)
+    for i, (s, o) in enumerate(zip(streamed, offline)):
+        np.testing.assert_allclose(s, np.asarray(o), rtol=2e-4, atol=2e-5,
+                                   err_msg=f"output {i}")
+
+
+def test_streaming_bounded_lookahead_runs_and_shapes(small_model):
+    cfg, params = small_model
+    t = 20
+    x_human, x_objects, mask, seg = _inputs(t=t, seed=6)
+    runner = StreamingRunner(params, cfg, window=6, lookahead=3,
+                             rng=jax.random.PRNGKey(42))
+    streamed = runner.run(x_human, x_objects, mask, human_segmentation=seg)
+    assert streamed[0].shape == (1, t, 2)          # decisions (B, T, H)
+    assert streamed[-1].shape == (1, 13, t, 2)     # heads (B, C, T, H)
+    for s in streamed:
+        assert np.isfinite(s).all()

@@ -77,6 +77,12 @@ class TGGCNConfig:
     cat_level_states: bool = False
     share_level_mlps: bool = False
     bias: bool = True
+    # 'reference' reproduces the upstream raw-memory reshape of the GeoGCN
+    # output (models.py:644-645), which scrambles (channel, node, time) into
+    # per-step blocks and couples features to the clip length. 'per_frame'
+    # is the fixed semantics (each step sees its own frame's node features);
+    # required for exact streaming, NOT weight-compatible with 'reference'.
+    geometry_flatten: str = "reference"
 
     @classmethod
     def from_kwargs(cls, **kwargs):
@@ -284,15 +290,18 @@ def init_tggcn(key, cfg: TGGCNConfig) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _frame_bigru(params_rnn, params_mlp, x):
+def _frame_bigru(params_rnn, params_mlp, x, h0_fwd=None):
     """Per-entity BiGRU + embedding MLP (reference _process_frame_level_rnn).
 
     x (B, T, E, h); entities fold into the batch axis so the scan body runs a
-    single (B*E, 3h) recurrent matmul per step.
+    single (B*E, 3h) recurrent matmul per step. h0_fwd (B, E, h) optionally
+    seeds the forward direction (streaming windows).
     """
     b, t, e, f = x.shape
     x_f = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * e, t, f)
-    h_fr = run_bigru(params_rnn, x_f)
+    if h0_fwd is not None:
+        h0_fwd = h0_fwd.reshape(b * e, -1)
+    h_fr = run_bigru(params_rnn, x_f, h0_fwd=h0_fwd)
     h_fr = h_fr.reshape(b, e, t, -1).transpose(0, 2, 1, 3)  # (B, T, E, 2h)
     h_f = apply_mlp(params_mlp, h_fr, activations=["relu"])
     return h_f, h_fr
@@ -331,12 +340,23 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
                 object_object_distances: Optional[jnp.ndarray] = None,
                 steps_per_example: Optional[jnp.ndarray] = None,
                 train: bool = False, rng: Optional[jax.Array] = None,
-                inspect_model: bool = False):
+                inspect_model: bool = False,
+                carry: Optional[dict] = None, return_carry: bool = False,
+                force_last_step_commit: bool = True):
     """Forward pass. Returns (outputs list, aux dict).
 
     aux contains 'bn_state' (updated GeoGCN BatchNorm statistics when
     train=True) and, if inspect_model, 'attention_scores'
     [frame, segment-fwd, segment-bwd] each (B, H, T, O).
+
+    Streaming support (sliding-window inference over long untrimmed video):
+    `carry` threads the forward-direction recurrent states across windows
+    (keys: frame_human/frame_object/frame_geometry (B, E, h) and
+    seg_human/seg_object (B, E, h)); `return_carry=True` adds per-step
+    forward state sequences to aux so the caller can slice the carry at any
+    window boundary; `force_last_step_commit=False` disables the u=1 forcing
+    at the final padded step (reference models.py:701-702), which is only
+    correct at a true clip end.
     """
     b, t, num_humans = x_human.shape[0], x_human.shape[1], x_human.shape[2]
     num_objects = x_objects.shape[2]
@@ -350,18 +370,27 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
     vw = x_geometry.shape[-1]
     x_geometry = x_geometry.reshape(b, t, vw // 4, 4)
     geo_out, bn_state = apply_geo_gcn(params["geometry_embedding_gcn"], x_geometry, train=train)
-    # Reference quirk (models.py:644-645): the (B, 128, V, T) GCN output is
-    # raw-memory reshaped to (B, T, 1, 128*V), which scrambles (channel, node,
-    # time) into per-"frame" blocks. Reproduced bit-for-bit for parity.
-    geo_flat = jnp.transpose(geo_out, (0, 3, 2, 1)).reshape(b, t, 1, geo_out.shape[-1] * vw // 4)
+    if cfg.geometry_flatten == "per_frame":
+        geo_flat = geo_out.reshape(b, t, 1, geo_out.shape[-1] * (vw // 4))
+    else:
+        # Reference quirk (models.py:644-645): the (B, 128, V, T) GCN output
+        # is raw-memory reshaped to (B, T, 1, 128*V), which scrambles
+        # (channel, node, time) into per-"frame" blocks. Reproduced
+        # bit-for-bit for parity.
+        geo_flat = jnp.transpose(geo_out, (0, 3, 2, 1)).reshape(
+            b, t, 1, geo_out.shape[-1] * (vw // 4))
     x_geo_emb = apply_mlp(params["geometry_embedding_mlp"], geo_flat, activations=["relu", "relu"])
     x_hum_emb = apply_mlp(params["human_embedding_mlp"], x_vis, activations=["relu"])
     x_obj_emb = apply_mlp(params["object_embedding_mlp"], x_objects, activations=["relu"])
 
     # --- Frame-level BiGRUs ----------------------------------------------
-    h_hf, h_hfr = _frame_bigru(params["human_bd_rnn"], params["human_bd_embedding_mlp"], x_hum_emb)
-    h_of, h_ofr = _frame_bigru(params["object_bd_rnn"], params["object_bd_embedding_mlp"], x_obj_emb)
-    h_sf, _h_sfr = _frame_bigru(params["geometry_bd_rnn"], params["geometry_bd_embedding_mlp"], x_geo_emb)
+    carry = carry or {}
+    h_hf, h_hfr = _frame_bigru(params["human_bd_rnn"], params["human_bd_embedding_mlp"],
+                               x_hum_emb, h0_fwd=carry.get("frame_human"))
+    h_of, h_ofr = _frame_bigru(params["object_bd_rnn"], params["object_bd_embedding_mlp"],
+                               x_obj_emb, h0_fwd=carry.get("frame_object"))
+    h_sf, _h_sfr = _frame_bigru(params["geometry_bd_rnn"], params["geometry_bd_embedding_mlp"],
+                                x_geo_emb, h0_fwd=carry.get("frame_geometry"))
 
     # --- Positional features ---------------------------------------------
     ignore_div = cfg.positional_encoding_style in {"p", "periodic"}
@@ -435,8 +464,9 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
             u_soft, strategy=cfg.discrete_optimization_strategy,
             threshold=cfg.update_segment_threshold, key=rng_h)
         u_h_hard, u_h_soft = u_h_hard[..., 0], u_h_soft[..., 0]  # (B, T, H)
-        # Forced commit at the final padded step (reference models.py:701-702).
-        u_h_hard = u_h_hard.at[:, -1, :].set(1.0)
+        if force_last_step_commit:
+            # Forced commit at the final padded step (reference models.py:701-702).
+            u_h_hard = u_h_hard.at[:, -1, :].set(1.0)
 
     if objects_segmentation is not None:
         u_o_hard = u_o_soft = objects_segmentation.astype(x_human.dtype)
@@ -458,7 +488,8 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
             u_o_hard, u_o_soft = u_o_hard[..., 0], u_o_soft[..., 0]
             if cfg.object_segment_update_strategy in {"conditional_on_human", "coh"} and u_hst is not None:
                 u_o_hard = u_o_hard * u_hst
-            u_o_hard = u_o_hard.at[:, -1, :].set(1.0)
+            if force_last_step_commit:
+                u_o_hard = u_o_hard.at[:, -1, :].set(1.0)
 
     # --- Optional decision filtering (reference models.py:750-753) --------
     u_h_used, u_o_used = u_h_hard, u_o_hard
@@ -486,8 +517,12 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
     # --- Segment-level gated bidirectional scan ----------------------------
     seg = _segment_scan(params, cfg, x_hs, x_os, u_h_used, u_o_used, objects_mask,
                         human_human_distances, human_object_distances,
-                        object_object_distances)
+                        object_object_distances,
+                        seg_carry=(carry.get("seg_human"), carry.get("seg_object")))
     hx_hs, hx_os, att_seg_f, att_seg_b = seg
+    # Forward-direction segment state sequences (pre-reorder) for streaming carries.
+    hx_hs_fwd_seq = hx_hs[..., :hidden]
+    hx_os_fwd_seq = hx_os[..., :hidden]
 
     # --- Reorder: every frame labelled with its segment's final state ------
     def reorder_entities(hx, u):
@@ -527,6 +562,16 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
         output = [y_hs, y_hss, y_hf_rec, y_hf_pred, y_h_rec, y_h_pred]
 
     aux = {"bn_state": bn_state}
+    if return_carry:
+        hidden_h = cfg.hidden_size
+        # Per-step forward-direction states; slice [:, w-1] for a window carry.
+        aux["carry_seq"] = {
+            "frame_human": h_hfr[..., :hidden_h],
+            "frame_object": h_ofr[..., :hidden_h],
+            "frame_geometry": _h_sfr[..., :hidden_h],
+            "seg_human": hx_hs_fwd_seq,
+            "seg_object": hx_os_fwd_seq,
+        }
     if inspect_model:
         # (B, T, H, O) -> (B, H, T, O), matching the reference stacking
         # (models.py:927-931).
@@ -536,7 +581,7 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
 
 
 def _segment_scan(params, cfg: TGGCNConfig, x_hs, x_os, u_h, u_o, objects_mask,
-                  hh_dists, ho_dists, oo_dists):
+                  hh_dists, ho_dists, oo_dists, seg_carry=(None, None)):
     """Gated bidirectional segment-level GRU over time.
 
     One lax.scan processes forward step tf=i and backward step tb=T-1-i in
@@ -653,9 +698,10 @@ def _segment_scan(params, cfg: TGGCNConfig, x_hs, x_os, u_h, u_o, objects_mask,
 
         return (h_hf_n, h_hb_n, h_of_n, h_ob_n), (h_hf_n, h_hb_n, h_of_n, h_ob_n, att_f, att_b)
 
-    init = (jnp.zeros((b, num_humans, h), dtype=dtype),
+    seg_h0, seg_o0 = seg_carry
+    init = (seg_h0 if seg_h0 is not None else jnp.zeros((b, num_humans, h), dtype=dtype),
             jnp.zeros((b, num_humans, h), dtype=dtype),
-            jnp.zeros((b, num_objects, h), dtype=dtype),
+            seg_o0 if seg_o0 is not None else jnp.zeros((b, num_objects, h), dtype=dtype),
             jnp.zeros((b, num_objects, h), dtype=dtype))
 
     def rev(a):

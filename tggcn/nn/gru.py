@@ -83,8 +83,14 @@ def init_bigru(key, input_size: int, hidden_size: int, bias: bool = True) -> dic
     }
 
 
-def run_bigru(params: dict, xs: jnp.ndarray) -> jnp.ndarray:
-    """Bidirectional GRU over xs (B, T, F) -> (B, T, 2H), torch output layout."""
-    h_fwd = run_gru(params["fwd"], xs)
+def run_bigru(params: dict, xs: jnp.ndarray,
+              h0_fwd: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Bidirectional GRU over xs (B, T, F) -> (B, T, 2H), torch output layout.
+
+    h0_fwd optionally seeds the forward direction (streaming inference
+    threads it across windows); the backward direction always starts at zero
+    within the window.
+    """
+    h_fwd = run_gru(params["fwd"], xs, h0=h0_fwd)
     h_bwd = run_gru(params["bwd"], xs, reverse=True)
     return jnp.concatenate([h_fwd, h_bwd], axis=-1)

@@ -1,0 +1,6 @@
+from tggcn.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)

@@ -1,0 +1,120 @@
+"""Training CLI — config-driven, same interface as the reference train.py.
+
+Usage (Hydra-style overrides):
+    python train.py models=2G-GCN_stage1 data=mphoi
+    python train.py models=2G-GCN_stage1 data=cad120 parameters.hidden_size=512 \
+        data.cross_validation_test_subject=Subject1
+
+Reference behaviour reproduced (reference train.py:13-66): data loading with
+the seed-42 split, model construction from cfg.parameters verbatim, optional
+stage-2 warm start from a pretrained run dir (non-strict weight merge), Adam,
+the multi-task loss bundle + optional multi-task loss learner, best-val
+checkpointing, and the run-dir contract (frozen config under .hydra/ +
+<checkpoint_name>.ckpt).
+
+TPU-native: jit-compiled train/eval steps; optional data-parallel mesh via
+resources.num_devices.
+"""
+
+import os
+import sys
+
+import jax
+import optax
+
+from tggcn.config import compose, save_config
+from tggcn.data.loading import (
+    determine_num_classes,
+    load_training_data,
+    select_model_data_feeder,
+    select_model_data_fetcher,
+)
+from tggcn.models import select_model
+from tggcn.models.tggcn import TGGCNConfig
+from tggcn.parallel.mesh import make_mesh
+from tggcn.train.checkpoint import load_model_weights, merge_params, save_checkpoint
+from tggcn.train.loop import train
+from tggcn.train.losses import (
+    decide_num_main_losses,
+    select_loss,
+    select_loss_learning_mask,
+    select_loss_types,
+)
+from tggcn.train.multi_task import init_mtll
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    conf_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "conf")
+    cfg = compose(conf_dir, overrides=argv)
+    seed = 42
+
+    model_name, model_input_type = cfg.metadata.model_name, cfg.metadata.input_type
+    batch_size, val_fraction = cfg.optimization.batch_size, cfg.optimization.val_fraction
+    misc_dict = cfg.get("misc", default_value={})
+    sigma = misc_dict.get("segmentation_loss", {}).get("sigma", 0.0)
+    train_loader, val_loader, data_info, scalers = load_training_data(
+        cfg.data, model_name, model_input_type, batch_size=batch_size,
+        val_fraction=val_fraction, seed=seed, debug=bool(misc_dict.get("debug", False)),
+        sigma=sigma)
+
+    dataset_name = cfg.data.name
+    num_classes = determine_num_classes(model_name, model_input_type, dataset_name)
+    model = select_model(model_name, num_classes=num_classes,
+                         **{**data_info, **cfg.parameters})
+    params = model.init(jax.random.PRNGKey(seed))
+    if misc_dict.get("pretrained", False) and misc_dict.get("pretrained_path") is not None:
+        compat_cfg = model.config if isinstance(model.config, TGGCNConfig) else None
+        loaded = load_model_weights(misc_dict["pretrained_path"], cfg=compat_cfg)
+        params = merge_params(params, loaded)
+        print(f"Warm-started from {misc_dict['pretrained_path']}")
+
+    optimizer = optax.adam(cfg.optimization.learning_rate)
+    criterion, loss_names = select_loss(model_name, model_input_type, dataset_name, cfg=cfg)
+    mtll = None
+    if misc_dict.get("multi_task_loss_learner", False):
+        loss_types = select_loss_types(model_name, dataset_name, cfg=cfg)
+        mask = select_loss_learning_mask(model_name, dataset_name, cfg=cfg)
+        mtll = init_mtll(loss_types=loss_types, mask=mask)
+
+    mesh = None
+    num_devices = cfg.get("resources", default_value={}).get("num_devices", 1)
+    if num_devices and num_devices > 1:
+        mesh = make_mesh(num_devices)
+        if batch_size % num_devices != 0:
+            raise ValueError(f"batch_size {batch_size} must divide num_devices {num_devices}")
+
+    fetch_model_data = select_model_data_fetcher(
+        model_name, model_input_type, dataset_name=dataset_name,
+        **{**misc_dict, **cfg.parameters})
+    feed_model_data = select_model_data_feeder(
+        model_name, model_input_type, dataset_name=dataset_name, **misc_dict)
+    num_main_losses = decide_num_main_losses(model_name, dataset_name,
+                                             {**misc_dict, **cfg.parameters})
+    num_inputs = 8 if model_name == "2G-GCN" else 3
+
+    log_dir = cfg.logging.get("log_dir")
+    checkpoint_name = cfg.logging.get("checkpoint_name")
+    if log_dir is not None:
+        os.makedirs(log_dir, exist_ok=True)
+        # Frozen config: predict.py re-loads this copy (reference predict.py:22-23).
+        save_config(cfg, os.path.join(log_dir, ".hydra", "config.yaml"))
+
+    checkpoint = train(model, train_loader, optimizer, criterion,
+                       cfg.optimization.epochs, loss_names,
+                       clip_gradient_at=cfg.optimization.clip_gradient_at,
+                       fetch_model_data=fetch_model_data, feed_model_data=feed_model_data,
+                       val_loader=val_loader, mtll=mtll, num_main_losses=num_main_losses,
+                       seed=seed, mesh=mesh, num_inputs=num_inputs,
+                       checkpoint_name=checkpoint_name,
+                       tensorboard_log_dir=cfg.logging.get("root_log_dir"),
+                       log_dir=log_dir, init_params=params)
+    if log_dir is not None:
+        checkpoint["scalers"] = scalers
+        save_checkpoint(log_dir, checkpoint, checkpoint_name=checkpoint_name,
+                        include_timestamp=False)
+    return checkpoint
+
+
+if __name__ == "__main__":
+    main()
