@@ -17,9 +17,13 @@ import time
 
 import numpy as np
 
-# Reference PyTorch-CPU throughput on this host (tools/bench_reference.py,
-# B=8, T=167, hidden=512; see BASELINE.md).
-REFERENCE_CPU_CLIPS_PER_SEC = None  # filled after measurement; see BASELINE.md
+# Reference PyTorch-CPU throughput on this host (tools/bench_reference.py).
+# Measured: 0.2832 clips/s at T=40; at the headline T=167 a single reference
+# train step did NOT complete within 595 s (=> < 0.0135 clips/s). The value
+# below is the linear-in-T extrapolation 0.2832 * 40/167, which is
+# FAVOURABLE to the reference (its measured scaling is super-linear).
+# See BASELINE.md for the full measurement record.
+REFERENCE_CPU_CLIPS_PER_SEC = 0.0678
 
 
 def main():
