@@ -66,23 +66,26 @@ def main():
     y_rec = rng.integers(0, 13, size=(b, t, num_humans)).astype(np.int64)
     batch = [x_human, x_objects, mask, x_hseg, dummy, dummy, dummy, steps,
              y_seg, y_seg, y_rec, y_rec, y_rec, y_rec]
+    # Device-resident inputs (the train loop prefetches batches the same way).
+    batch = jax.device_put(batch)
     data, targets = fetcher(batch)
 
     step = make_train_step(model, feeder, criterion, optimizer, mtll=None)
     trainable = {"model": params}
     opt_state = optimizer.init(trainable)
 
-    # Warmup / compile.
+    # Warmup / compile. Sync by fetching the loss value: on the remote-TPU
+    # backend block_until_ready does not reliably wait for execution.
     key = jax.random.PRNGKey(0)
     trainable, opt_state, losses, _ = step(trainable, opt_state, key, data, targets)
-    jax.block_until_ready(losses)
+    np.asarray(losses)
 
-    num_steps = 10
+    num_steps = 20
     start = time.perf_counter()
     for i in range(num_steps):
         trainable, opt_state, losses, _ = step(trainable, opt_state,
                                                jax.random.fold_in(key, i), data, targets)
-    jax.block_until_ready(losses)
+    np.asarray(losses)
     elapsed = time.perf_counter() - start
     clips_per_sec = num_steps * b / elapsed
     vs_baseline = (clips_per_sec / REFERENCE_CPU_CLIPS_PER_SEC

@@ -37,7 +37,8 @@ from tggcn.train.checkpoint import load_checkpoint, load_model_weights, merge_pa
 from tggcn.train.loop import pad_batch
 from tggcn.train.losses import decide_num_main_losses, extract_value
 from tggcn.utils.io import cleanup_directory, read_dictionary
-from tggcn.utils.metrics import f1_at_k, f1_at_k_single_example
+# Native C++ F1@k kernels with transparent numpy fallback (tggcn/utils/native.py).
+from tggcn.utils.native import f1_at_k, f1_at_k_single_example
 
 
 def predict(model_dir, frame_to_segment_level=False, inspect_model=False):

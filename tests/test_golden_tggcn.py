@@ -18,7 +18,8 @@ from tggcn.compat import tggcn_params_from_torch_state_dict
 from tggcn.models.tggcn import TGGCNConfig, apply_tggcn
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
-FIXTURES = sorted(glob.glob(os.path.join(GOLDEN_DIR, "*.npz")))
+FIXTURES = sorted(p for p in glob.glob(os.path.join(GOLDEN_DIR, "*.npz"))
+                  if not os.path.basename(p).startswith("baseline_"))
 
 
 def load_fixture(path):

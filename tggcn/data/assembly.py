@@ -111,6 +111,23 @@ def anticipation_labels_from_rle(labels: np.ndarray) -> list:
     return out
 
 
+def apply_positional_encoding(x_features: np.ndarray, dimension: int = 2048) -> np.ndarray:
+    """Sin/cos positional encoding of (x, y) locations (reference :998-1016).
+
+    Defined (but never called at runtime) by the reference; kept for API
+    parity. x_features (*, 2) -> (*, dimension), dimension divisible by 4.
+    """
+    m = np.array([1e4], dtype=np.float32)
+    indices = 4 * np.arange(0, dimension // 4, dtype=np.float32) / dimension
+    factor = 1 / (m ** indices)
+    result = []
+    for coord_index in range(2):
+        pre = x_features[..., coord_index:coord_index + 1] * factor
+        result.append(np.sin(pre))
+        result.append(np.cos(pre))
+    return np.concatenate(result, axis=-1)
+
+
 def context_features(pose_seqs: List[np.ndarray], obb_seq: np.ndarray,
                      velocity_scale: float = 100.0) -> np.ndarray:
     """Shared geometric context vector per frame.

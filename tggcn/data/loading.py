@@ -164,10 +164,8 @@ def maybe_scale_input_tensors(x: list, model_name: str, scaling_strategy: Option
 # --------------------------------------------------------------------------
 
 
-def create_data_loader(data, model_name: str, model_input_type: str, dataset_name: str,
-                       batch_size: int, shuffle: bool, scaling_strategy: Optional[str] = None,
-                       scalers: Optional[dict] = None, sigma: float = 0.0,
-                       downsampling: int = 1, test_data: bool = False):
+def _assemble_flat(data, model_name, dataset_name, sigma, downsampling, test_data,
+                   scaling_strategy=None, scalers=None):
     if dataset_name.lower() == "cad120":
         x, y = assembly.assemble_cad120_tensors(data, model_name, sigma=sigma,
                                                 downsampling=downsampling, test_data=test_data)
@@ -180,8 +178,32 @@ def create_data_loader(data, model_name: str, model_input_type: str, dataset_nam
     x, scalers = maybe_scale_input_tensors(x, model_name, scaling_strategy=scaling_strategy,
                                            scalers=scalers)
     x = [np.nan_to_num(ix, copy=False, nan=0.0) for ix in x]
-    loader = ArrayDataLoader(x + y, batch_size=batch_size, shuffle=shuffle)
+    return x + y, scalers
+
+
+def create_data_loader(data, model_name: str, model_input_type: str, dataset_name: str,
+                       batch_size: int, shuffle: bool, scaling_strategy: Optional[str] = None,
+                       scalers: Optional[dict] = None, sigma: float = 0.0,
+                       downsampling: int = 1, test_data: bool = False,
+                       length_buckets: int = 0):
     segmentations = assemble_segmentations(data, model_name, dataset_name=dataset_name)
+    if length_buckets and length_buckets > 1:
+        # Length-bucketed batching: each bucket pads to its own max length
+        # (bounds both padding waste and recompilation; tggcn/data/pipeline.py).
+        if scaling_strategy is not None or scalers:
+            raise ValueError("length_buckets does not support feature scaling yet.")
+        from tggcn.data.pipeline import make_bucketed_loader
+
+        loader = make_bucketed_loader(
+            data,
+            lambda bucket: _assemble_flat(bucket, model_name, dataset_name, sigma,
+                                          downsampling, test_data)[0],
+            length_buckets, batch_size=batch_size, shuffle=shuffle,
+            length_fn=lambda item: len(item[0]))
+        return loader, {}, segmentations
+    tensors, scalers = _assemble_flat(data, model_name, dataset_name, sigma, downsampling,
+                                      test_data, scaling_strategy, scalers)
+    loader = ArrayDataLoader(tensors, batch_size=batch_size, shuffle=shuffle)
     return loader, scalers, segmentations
 
 
@@ -319,6 +341,7 @@ def load_training_data(data, model_name, model_input_type, batch_size: int = 8,
     test_subject_id = data.cross_validation_test_subject
     scaling_strategy = data.get("scaling_strategy", default_value=None)
     downsampling = data.get("downsampling", default_value=1)
+    length_buckets = data.get("length_buckets", default_value=0)
 
     if dataset_name == "bimanual":
         with open(data.video_id_to_video_fps, mode="r") as f:
@@ -342,7 +365,7 @@ def load_training_data(data, model_name, model_input_type, batch_size: int = 8,
     train_loader, scalers, _ = create_data_loader(
         train_raw, model_name, model_input_type, dataset_name, batch_size=batch_size,
         shuffle=True, scaling_strategy=scaling_strategy, sigma=sigma,
-        downsampling=downsampling, test_data=False)
+        downsampling=downsampling, test_data=False, length_buckets=length_buckets)
     val_loader, _, _ = create_data_loader(
         val_raw, model_name, model_input_type, dataset_name, batch_size=max(len(val_raw), 1),
         shuffle=False, scalers=scalers, sigma=sigma, downsampling=downsampling,

@@ -83,6 +83,10 @@ class TGGCNConfig:
     # is the fixed semantics (each step sees its own frame's node features);
     # required for exact streaming, NOT weight-compatible with 'reference'.
     geometry_flatten: str = "reference"
+    # Rematerialise the segment-scan body in the backward pass (recompute
+    # instead of storing per-step residuals). Numerics-neutral; trades FLOPs
+    # for HBM traffic on long sequences.
+    remat_segment_scan: bool = False
 
     @classmethod
     def from_kwargs(cls, **kwargs):
@@ -525,6 +529,7 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
     hx_os_fwd_seq = hx_os[..., :hidden]
 
     # --- Reorder: every frame labelled with its segment's final state ------
+    # Humans and objects fold into ONE scan (same 2h feature width).
     def reorder_entities(hx, u):
         # (B, T, E, F), (B, T, E) -> fold entities into batch for the scan.
         n_e = hx.shape[2]
@@ -533,8 +538,10 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
         out = reorder_hidden_states(hx_f, u_f)
         return out.reshape(b, n_e, t, -1).transpose(0, 2, 1, 3)
 
-    hx_hs = reorder_entities(hx_hs, u_h_used)
-    hx_os = reorder_entities(hx_os, u_o_used)
+    hx_all = reorder_entities(jnp.concatenate([hx_hs, hx_os], axis=2),
+                              jnp.concatenate([u_h_used, u_o_used], axis=2))
+    hx_hs = hx_all[:, :, :num_humans]
+    hx_os = hx_all[:, :, num_humans:]
     if cfg.cat_level_states:
         hx_hs = jnp.concatenate([hx_hs, h_hfr], axis=-1)
         hx_os = jnp.concatenate([hx_os, h_ofr], axis=-1)
@@ -731,6 +738,8 @@ def _segment_scan(params, cfg: TGGCNConfig, x_hs, x_os, u_h, u_o, objects_mask,
     xs = (gi_hf_t, gi_of_t, u_h_t, u_o_t,
           rev(gi_hb_t), rev(gi_ob_t), rev(u_h_t), rev(u_o_t),
           hh_t_f, ho_t_f, oo_t_f, hh_t_b, ho_t_b, oo_t_b)
+    if cfg.remat_segment_scan:
+        step_wrapper = jax.checkpoint(step_wrapper)
     _, (h_hf_seq, h_hb_seq, h_of_seq, h_ob_seq, att_f_seq, att_b_seq) = \
         jax.lax.scan(step_wrapper, init, xs)
 

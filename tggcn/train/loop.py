@@ -70,6 +70,33 @@ def _clip_model_grads(grads_model, max_norm: float):
     return jax.tree_util.tree_map(lambda g: g * clip_coef, grads_model)
 
 
+def device_batch_iterator(loader, batch_size: int, num_inputs: int, mesh=None):
+    """Yield device-resident padded batches with one-batch-ahead prefetch.
+
+    jax.device_put is asynchronous: the next batch's host->device transfer
+    overlaps with the consumer's compute on the current batch. (Passing raw
+    numpy arrays into a jit'ed step instead costs a synchronous per-call
+    transfer, which dominated wall-clock on the remote-TPU path.)
+    """
+    from tggcn.parallel.mesh import shard_batch
+
+    def put(batch):
+        batch = pad_batch(batch, batch_size, num_inputs)
+        if mesh is not None:
+            return shard_batch(batch, mesh)
+        return jax.device_put(batch)
+
+    iterator = iter(loader)
+    try:
+        prefetched = put(next(iterator))
+    except StopIteration:
+        return
+    for batch in iterator:
+        current, prefetched = prefetched, put(batch)
+        yield current
+    yield prefetched
+
+
 def make_train_step(model, feeder: Callable, criterion: Callable,
                     optimizer, clip_gradient_at: float = 0.0,
                     mtll: Optional[dict] = None, mesh=None):
@@ -142,11 +169,7 @@ def evaluate(eval_step, trainable, loader, fetcher, rng, batch_size: int,
     total = None
     total_raw = None
     num_batches = 0
-    for batch in loader:
-        batch = pad_batch(batch, batch_size, num_inputs)
-        if mesh is not None:
-            from tggcn.parallel.mesh import shard_batch
-            batch = shard_batch(batch, mesh)
+    for batch in device_batch_iterator(loader, batch_size, num_inputs, mesh):
         data, targets = fetcher(batch)
         losses, raw = eval_step(trainable, rng, data, targets)
         losses, raw = np.asarray(losses), np.asarray(raw)
@@ -192,11 +215,8 @@ def train(model, train_loader, optimizer, criterion, epochs, loss_names,
         print(f"\nEpoch: [{epoch:4d}/{epochs + initial_epoch - 1:4d}]")
         epoch_start = time.time()
         num_batches = len(train_loader)
-        for batch_idx, batch in enumerate(train_loader):
-            batch = pad_batch(batch, batch_size, num_inputs)
-            if mesh is not None:
-                from tggcn.parallel.mesh import shard_batch
-                batch = shard_batch(batch, mesh)
+        batches = device_batch_iterator(train_loader, batch_size, num_inputs, mesh)
+        for batch_idx, batch in enumerate(batches):
             data, targets = fetch_model_data(batch)
             rng = jax.random.fold_in(root_rng, global_step)
             trainable, opt_state, losses, raw_losses = train_step(

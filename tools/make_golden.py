@@ -123,6 +123,41 @@ SCENARIOS = {
 }
 
 
+
+
+def make_baseline_fixtures(reference_path="/root/reference"):
+    """Golden fixtures for CAD120Baseline / BimanualBaseline."""
+    import torch
+    sys.path.insert(0, reference_path)
+    from vhoi.models import BimanualBaseline, CAD120Baseline
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    for name, cls, num_classes, num_humans in [
+        ("cad120_baseline", CAD120Baseline, (10, 12), 1),
+        ("bimanual_baseline", BimanualBaseline, (14, None), 2),
+    ]:
+        torch.manual_seed(77)
+        rng = np.random.default_rng(55)
+        b, t, num_objects = 2, 9, 3
+        model = cls(input_size=(2124, 2048), num_classes=num_classes, hidden_size=16)
+        model.eval()
+        x_human = rng.normal(size=(b, t, num_humans, 2124)).astype(np.float32)
+        x_objects = rng.normal(size=(b, t, num_objects, 2048)).astype(np.float32)
+        mask = np.ones((b, num_objects), dtype=np.float32)
+        mask[0, -1] = 0.0
+        with torch.no_grad():
+            outputs = model(torch.from_numpy(x_human), torch.from_numpy(x_objects),
+                            torch.from_numpy(mask))
+        payload = {"input::x_human": x_human, "input::x_objects": x_objects,
+                   "input::objects_mask": mask}
+        for i, out in enumerate(outputs):
+            payload[f"output::{i}"] = out.detach().numpy()
+        for k, v in model.state_dict().items():
+            payload[f"weight::{k}"] = v.detach().numpy()
+        np.savez_compressed(os.path.join(OUT_DIR, f"baseline_{name}.npz"), **payload)
+        print(f"wrote baseline_{name}: {len(outputs)} outputs")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--reference", default="/root/reference")
@@ -172,6 +207,7 @@ def main():
         np.savez_compressed(os.path.join(OUT_DIR, f"{name}.npz"), **payload)
         print(f"wrote {name}: {len(outputs)} outputs, "
               f"{len(model.state_dict())} weights")
+    make_baseline_fixtures(args.reference)
 
 
 if __name__ == "__main__":

@@ -49,6 +49,13 @@ def main(argv=None):
     cfg = compose(conf_dir, overrides=argv)
     seed = 42
 
+    # Observability toggles (SURVEY.md §5.1-5.2): NaN debugging aborts on the
+    # first non-finite value inside jit; the profiler traces the first epoch.
+    resources = cfg.get("resources", default_value={})
+    if resources.get("debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+    profiler_dir = resources.get("jax_profiler_dir")
+
     model_name, model_input_type = cfg.metadata.model_name, cfg.metadata.input_type
     batch_size, val_fraction = cfg.optimization.batch_size, cfg.optimization.val_fraction
     misc_dict = cfg.get("misc", default_value={})
@@ -100,15 +107,41 @@ def main(argv=None):
         # Frozen config: predict.py re-loads this copy (reference predict.py:22-23).
         save_config(cfg, os.path.join(log_dir, ".hydra", "config.yaml"))
 
+    # Resume from a fault-tolerance snapshot (last.ckpt) when requested.
+    initial_epoch, init_opt_state = 1, None
+    if misc_dict.get("resume", False) and log_dir is not None:
+        from tggcn.train.checkpoint import load_last
+
+        last = load_last(log_dir)
+        if last is not None:
+            params = last["trainable"]["model"]
+            if mtll is not None and "mtll" in last["trainable"]:
+                mtll["log_sds"] = last["trainable"]["mtll"]
+            init_opt_state = last["opt_state"]
+            initial_epoch = last["epoch"] + 1
+            print(f"Resumed from epoch {last['epoch']} ({log_dir}/last.ckpt)")
+
+    # Run only the remaining epochs up to the configured total.
+    num_epochs = max(cfg.optimization.epochs - (initial_epoch - 1), 0)
+    if num_epochs == 0:
+        # Resuming a completed run: never clobber the existing checkpoint.
+        print(f"Run already completed ({cfg.optimization.epochs} epochs); nothing to do.")
+        return {}
+
+    if profiler_dir:
+        jax.profiler.start_trace(profiler_dir)
     checkpoint = train(model, train_loader, optimizer, criterion,
-                       cfg.optimization.epochs, loss_names,
+                       num_epochs, loss_names,
                        clip_gradient_at=cfg.optimization.clip_gradient_at,
                        fetch_model_data=fetch_model_data, feed_model_data=feed_model_data,
                        val_loader=val_loader, mtll=mtll, num_main_losses=num_main_losses,
                        seed=seed, mesh=mesh, num_inputs=num_inputs,
                        checkpoint_name=checkpoint_name,
                        tensorboard_log_dir=cfg.logging.get("root_log_dir"),
-                       log_dir=log_dir, init_params=params)
+                       log_dir=log_dir, init_params=params,
+                       init_opt_state=init_opt_state, initial_epoch=initial_epoch)
+    if profiler_dir:
+        jax.profiler.stop_trace()
     if log_dir is not None:
         checkpoint["scalers"] = scalers
         save_checkpoint(log_dir, checkpoint, checkpoint_name=checkpoint_name,
