@@ -97,10 +97,9 @@ def device_batch_iterator(loader, batch_size: int, num_inputs: int, mesh=None):
     yield prefetched
 
 
-def make_train_step(model, feeder: Callable, criterion: Callable,
-                    optimizer, clip_gradient_at: float = 0.0,
-                    mtll: Optional[dict] = None, mesh=None):
-    """Build the jitted train step over trainable = {'model': ..., ['mtll': ...]}."""
+def _build_step_fn(model, feeder: Callable, criterion: Callable, optimizer,
+                   clip_gradient_at: float = 0.0, mtll: Optional[dict] = None):
+    """The raw (unjitted) train step over trainable = {'model': ..., ['mtll': ...]}."""
     mtll_static = None
     if mtll is not None:
         mtll_static = (mtll["loss_types"], mtll["mask"])
@@ -128,6 +127,14 @@ def make_train_step(model, feeder: Callable, criterion: Callable,
                              model=_set_bn_state(trainable["model"], aux["bn_state"]))
         return trainable, opt_state, losses, raw_losses
 
+    return step
+
+
+def make_train_step(model, feeder: Callable, criterion: Callable,
+                    optimizer, clip_gradient_at: float = 0.0,
+                    mtll: Optional[dict] = None, mesh=None):
+    """Jitted single train step; batch sharded over the mesh when given."""
+    step = _build_step_fn(model, feeder, criterion, optimizer, clip_gradient_at, mtll)
     donate = (0, 1)
     if mesh is None:
         return jax.jit(step, donate_argnums=donate)
@@ -136,6 +143,38 @@ def make_train_step(model, feeder: Callable, criterion: Callable,
     return jax.jit(step, donate_argnums=donate,
                    in_shardings=(rep, rep, rep, data_sh, data_sh),
                    out_shardings=(rep, rep, rep, rep))
+
+
+def make_fused_train_steps(model, feeder: Callable, criterion: Callable,
+                           optimizer, clip_gradient_at: float = 0.0,
+                           mtll: Optional[dict] = None):
+    """K training steps fused into ONE jit via lax.scan over microbatches.
+
+    Device-bound inner loop: data/targets carry a leading steps axis (stacked
+    microbatches resident in HBM); per-step host dispatch disappears, which
+    matters on remote/pod deployments where each jit call pays host latency.
+    Returns step(trainable, opt_state, rng, data_stack, target_stack) ->
+    (trainable, opt_state, losses (K, L), raw_losses (K, L)).
+    """
+    single = _build_step_fn(model, feeder, criterion, optimizer,
+                            clip_gradient_at, mtll)
+
+    def fused(trainable, opt_state, rng, data_stack, target_stack):
+        num_steps = jax.tree_util.tree_leaves(data_stack)[0].shape[0]
+        keys = jax.random.split(rng, num_steps)
+
+        def body(carry, inp):
+            trainable_, opt_state_ = carry
+            key, data, targets = inp
+            trainable_, opt_state_, losses, raw = single(trainable_, opt_state_,
+                                                         key, data, targets)
+            return (trainable_, opt_state_), (losses, raw)
+
+        (trainable, opt_state), (losses, raw) = jax.lax.scan(
+            body, (trainable, opt_state), (keys, data_stack, target_stack))
+        return trainable, opt_state, losses, raw
+
+    return jax.jit(fused, donate_argnums=(0, 1))
 
 
 def make_eval_step(model, feeder: Callable, criterion: Callable,
