@@ -89,6 +89,10 @@ class TGGCNConfig:
     # for HBM traffic on long sequences. Measured ~25% faster train steps on
     # v5e at the MPHOI headline shape, hence on by default.
     remat_segment_scan: bool = True
+    # Route the GeoGCN block through the fused Pallas TPU kernel
+    # (tggcn/ops/geo_gcn_pallas.py). Forward-only path; leave off when
+    # gradients through the geometry stream are needed (training) or on CPU.
+    use_pallas_geo_gcn: bool = False
 
     @classmethod
     def from_kwargs(cls, **kwargs):
@@ -375,7 +379,8 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
     x_vis, x_geometry = _split_geometry(x_human)
     vw = x_geometry.shape[-1]
     x_geometry = x_geometry.reshape(b, t, vw // 4, 4)
-    geo_out, bn_state = apply_geo_gcn(params["geometry_embedding_gcn"], x_geometry, train=train)
+    geo_out, bn_state = apply_geo_gcn(params["geometry_embedding_gcn"], x_geometry,
+                                      train=train, use_pallas=cfg.use_pallas_geo_gcn)
     if cfg.geometry_flatten == "per_frame":
         geo_flat = geo_out.reshape(b, t, 1, geo_out.shape[-1] * (vw // 4))
     else:

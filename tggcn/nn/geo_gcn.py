@@ -34,15 +34,30 @@ def init_geo_gcn(key, node_n: int, in_channels: int = 4, out_channels: int = 128
     }
 
 
-def apply_geo_gcn(params: dict, x: jnp.ndarray, train: bool = False):
+def apply_geo_gcn(params: dict, x: jnp.ndarray, train: bool = False,
+                  use_pallas: bool = False):
     """Apply GeoGCN to geometry features.
 
     Arguments:
         x - (batch, time, nodes, in_channels) geometry tensor.
+        use_pallas - route the post-BatchNorm pipeline through the fused
+            Pallas TPU kernel (tggcn/ops/geo_gcn_pallas.py).
     Returns:
         (out, new_bn_state): out is (batch, time, nodes, out_channels).
     """
     x, bn_state = apply_batchnorm(params["bn"], x, reduce_axes=(0, 1), train=train)
+    if use_pallas:
+        from tggcn.ops.geo_gcn_pallas import geo_gcn_fused
+
+        b, t, v, c = x.shape
+        out = geo_gcn_fused(
+            x.reshape(b * t, v, c),
+            params["embed1"]["w"], params["embed1"]["b"],
+            params["embed2"]["w"], params["embed2"]["b"],
+            params["s1"]["w"], params["s1"]["b"],
+            params["s2"]["w"], params["s2"]["b"],
+            params["weight"])
+        return out.reshape(b, t, v, -1), bn_state
     h = jax.nn.relu(apply_linear(params["embed1"], x))
     h = jax.nn.relu(apply_linear(params["embed2"], h))          # (B, T, V, 64)
     s1 = apply_linear(params["s1"], h)                           # (B, T, V, 128)

@@ -111,6 +111,36 @@ SCENARIOS = {
         dict(b=2, t=6, num_humans=2, num_objects=3, human_width=2168, with_dists=False),
         dict(),
     ),
+    "mphoi_dot_u_periodic_shared": (
+        dict(hidden_size=24, gcn_node=26, message_humans_to_human=True,
+             message_segment=True, message_type="v2", message_granularity="v1",
+             message_aggregation="att", attention_style="v2",
+             discrete_optimization_strategy="st",
+             object_segment_update_strategy="ind", num_classes=(13, None),
+             add_time_position=True, time_position_strategy="u",
+             positional_encoding_style="p", share_level_mlps=True),
+        dict(b=2, t=6, num_humans=2, num_objects=3, human_width=2152, with_dists=False),
+        dict(),
+    ),
+    "cad120_specific_mp_geo2h": (
+        dict(hidden_size=24, gcn_node=19, message_humans_to_human=False,
+             message_segment=True, message_type="v2", message_granularity="v2",
+             message_aggregation="mp", attention_style="v3",
+             message_geometry_to_human=True,
+             discrete_optimization_strategy="st",
+             object_segment_update_strategy="coh", num_classes=(10, 12)),
+        dict(b=2, t=6, num_humans=1, num_objects=2, human_width=2124, with_dists=False),
+        dict(),
+    ),
+    "bimanual_v4_general": (
+        dict(hidden_size=24, gcn_node=30, message_humans_to_human=True,
+             message_segment=True, message_type="v2", message_granularity="v1",
+             message_aggregation="att", attention_style="v4",
+             discrete_optimization_strategy="st",
+             object_segment_update_strategy="ind", num_classes=(14, None)),
+        dict(b=2, t=6, num_humans=2, num_objects=3, human_width=2168, with_dists=False),
+        dict(),
+    ),
     "mphoi_train_bn": (
         dict(hidden_size=24, gcn_node=26, message_humans_to_human=True,
              message_segment=False, message_type="v2", message_granularity="v1",
