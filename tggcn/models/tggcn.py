@@ -22,6 +22,7 @@ strategies, GT-segmentation overrides, forced u=1 at the final padded step,
 local-maximum decision filtering, and the exact output list layout.
 """
 
+import math
 from dataclasses import dataclass
 from typing import Optional
 
@@ -536,10 +537,17 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
         x_os = jnp.concatenate([x_os, seg_len_features(u_o_used)], axis=-1)
 
     # --- Segment-level gated bidirectional scan ----------------------------
-    seg = _segment_scan(params, cfg, x_hs, x_os, u_h_used, u_o_used, objects_mask,
-                        human_human_distances, human_object_distances,
-                        object_object_distances,
-                        seg_carry=(carry.get("seg_human"), carry.get("seg_object")))
+    use_dists = any(d is not None for d in (human_human_distances,
+                                            human_object_distances,
+                                            object_object_distances))
+    seg_carry = (carry.get("seg_human"), carry.get("seg_object"))
+    if _fast_segment_scan_applicable(cfg, use_dists):
+        seg = _segment_scan_fast(params, cfg, x_hs, x_os, u_h_used, u_o_used,
+                                 objects_mask, seg_carry=seg_carry)
+    else:
+        seg = _segment_scan(params, cfg, x_hs, x_os, u_h_used, u_o_used, objects_mask,
+                            human_human_distances, human_object_distances,
+                            object_object_distances, seg_carry=seg_carry)
     hx_hs, hx_os, att_seg_f, att_seg_b = seg
     # Forward-direction segment state sequences (pre-reorder) for streaming carries.
     hx_hs_fwd_seq = hx_hs[..., :hidden]
@@ -602,6 +610,163 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
         to_ref = lambda a: jnp.transpose(a, (0, 2, 1, 3))
         aux["attention_scores"] = [to_ref(att_frame), to_ref(att_seg_f), to_ref(att_seg_b)]
     return output, aux
+
+
+def _fast_segment_scan_applicable(cfg: TGGCNConfig, use_dists: bool) -> bool:
+    """The batched fast path covers the default configuration: non-relational
+    generic messages on all four entity edges, dot/scaled-dot attention, no
+    distance-based attention. Anything else takes the general path."""
+    return (cfg.message_segment
+            and not cfg.relational
+            and cfg.message_granularity in {"v1", "generic"}
+            and cfg.attention
+            and cfg.attention_style in {"v2", "dot-product", "v3", "scaled_dot-product"}
+            and not use_dists
+            and cfg.message_humans_to_human and cfg.message_objects_to_human
+            and cfg.message_human_to_objects and cfg.message_objects_to_object)
+
+
+def _segment_scan_fast(params, cfg: TGGCNConfig, x_hs, x_os, u_h, u_o, objects_mask,
+                       seg_carry=(None, None)):
+    """Batched segment-level scan for the default config.
+
+    Per scan step the general path issues ~30 small ops (8 message MLPs, 8
+    attention computations, 4 GRU cells x 3 matmuls). Here both directions
+    and both entity types batch together: 2 batched message matmuls (one per
+    sender type, covering both edges and both directions), 4 batched
+    attention einsums, and one batched 4-cell GRU update over entity-padded
+    states. Semantics identical to _segment_scan (golden-tested).
+    """
+    b, t, num_humans, _ = x_hs.shape
+    num_objects = x_os.shape[2]
+    h = cfg.hidden_size
+    dtype = x_hs.dtype
+    scale = 1.0 / math.sqrt(h) if cfg.attention_style in {"v3", "scaled_dot-product"} else 1.0
+    e_max = max(num_humans, num_objects)
+
+    def base_gates(cell, x):
+        w = params[cell]["w_ih"]
+        gi = x @ w[: x.shape[-1]]
+        if "b_ih" in params[cell]:
+            gi = gi + params[cell]["b_ih"]
+        return gi
+
+    gi_hf = base_gates("human_segment_rnn_fcell", x_hs)
+    gi_hb = base_gates("human_segment_rnn_bcell", x_hs)
+    gi_of = base_gates("object_segment_rnn_fcell", x_os)
+    gi_ob = base_gates("object_segment_rnn_bcell", x_os)
+
+    def pad_e(a, target):
+        if a.shape[2] == target:
+            return a
+        return jnp.pad(a, ((0, 0), (0, 0), (0, target - a.shape[2]), (0, 0)))
+
+    # Stack the 4 cells (human-fwd, human-bwd, object-fwd, object-bwd) on a
+    # leading axis with entity rows padded to e_max; time-major for the scan.
+    gi4 = jnp.stack([pad_e(g, e_max) for g in (gi_hf, gi_hb, gi_of, gi_ob)])  # (4,B,T,E,3h)
+    gi4 = jnp.moveaxis(gi4, 2, 0)                                             # (T,4,B,E,3h)
+    # Backward cells read time T-1-i: flip their slices.
+    gi4 = jnp.stack([gi4[:, 0], gi4[::-1, 1], gi4[:, 2], gi4[::-1, 3]], axis=1)
+
+    def pad_u(u):
+        if u.shape[2] == e_max:
+            return u
+        return jnp.pad(u, ((0, 0), (0, 0), (0, e_max - u.shape[2])))
+
+    u4 = jnp.stack([pad_u(u_h), pad_u(u_h), pad_u(u_o), pad_u(u_o)])          # (4,B,T,E)
+    u4 = jnp.moveaxis(u4, 2, 0)
+    u4 = jnp.stack([u4[:, 0], u4[::-1, 1], u4[:, 2], u4[::-1, 3]], axis=1)    # (T,4,B,E)
+
+    w_hh4 = jnp.stack([params[c]["w_hh"] for c in
+                       ("human_segment_rnn_fcell", "human_segment_rnn_bcell",
+                        "object_segment_rnn_fcell", "object_segment_rnn_bcell")])
+    b_hh4 = jnp.stack([params[c].get("b_hh", jnp.zeros(3 * h, dtype))
+                       for c in ("human_segment_rnn_fcell", "human_segment_rnn_bcell",
+                                 "object_segment_rnn_fcell", "object_segment_rnn_bcell")])
+    base_h, base_o = x_hs.shape[-1], x_os.shape[-1]
+    w_msg_gates4 = jnp.stack([
+        params["human_segment_rnn_fcell"]["w_ih"][base_h:],
+        params["human_segment_rnn_bcell"]["w_ih"][base_h:],
+        params["object_segment_rnn_fcell"]["w_ih"][base_o:],
+        params["object_segment_rnn_bcell"]["w_ih"][base_o:],
+    ])                                                                         # (4, 2h, 3h)
+
+    def msg_layer(edge):
+        layer = params[edge]["segment"]["msg"]["layers"][0]
+        return layer["w"], layer.get("b", jnp.zeros(h, dtype))
+
+    w_from_h = jnp.stack([msg_layer("h2h")[0], msg_layer("h2o")[0]])           # (2, h, h)
+    b_from_h = jnp.stack([msg_layer("h2h")[1], msg_layer("h2o")[1]])[:, None, None, None]
+    w_from_o = jnp.stack([msg_layer("o2h")[0], msg_layer("o2o")[0]])
+    b_from_o = jnp.stack([msg_layer("o2h")[1], msg_layer("o2o")[1]])[:, None, None, None]
+
+    eye_h = jnp.eye(num_humans, dtype=dtype)
+    eye_o = jnp.eye(num_objects, dtype=dtype)
+    obj_mask_r = objects_mask[None, :, None, :]                                # (1,B,1,O)
+
+    def masked_softmax(scores, mask):
+        scores = jnp.where(mask.astype(bool), scores, -jnp.inf)
+        w = jax.nn.softmax(scores, axis=-1)
+        return jnp.where(jnp.isnan(w), 0.0, w)
+
+    seg_h0, seg_o0 = seg_carry
+    h_h0 = seg_h0 if seg_h0 is not None else jnp.zeros((b, num_humans, h), dtype)
+    h_o0 = seg_o0 if seg_o0 is not None else jnp.zeros((b, num_objects, h), dtype)
+    init = (jnp.stack([h_h0, jnp.zeros_like(h_h0)]),       # (2dir, B, H, h)
+            jnp.stack([h_o0, jnp.zeros_like(h_o0)]))       # (2dir, B, O, h)
+
+    def step(carry, inp):
+        h_h2, h_o2 = carry                                  # (2,B,H,h), (2,B,O,h)
+        gi4_i, u4_i = inp                                    # (4,B,E,3h), (4,B,E)
+        # Messages from each sender type: 2 edges x 2 directions in one matmul.
+        m_h = jax.nn.relu(jnp.einsum("dbnh,ehk->edbnk", h_h2, w_from_h) + b_from_h)
+        m_o = jax.nn.relu(jnp.einsum("dbnh,ehk->edbnk", h_o2, w_from_o) + b_from_o)
+        # Attention (dot / scaled dot) per edge, masked softmax over senders.
+        s_hh = jnp.einsum("dbnh,dbmh->dbnm", h_h2, h_h2) * scale
+        a_hh = masked_softmax(s_hh, (1.0 - eye_h)[None, None])
+        mg_hh = jnp.einsum("dbnm,dbmh->dbnh", a_hh, m_h[0])
+        s_oh = jnp.einsum("dbnh,dbmh->dbnm", h_h2, h_o2) * scale
+        a_oh = masked_softmax(s_oh, obj_mask_r)
+        mg_oh = jnp.einsum("dbnm,dbmh->dbnh", a_oh, m_o[0])
+        s_ho = jnp.einsum("dbnh,dbmh->dbnm", h_o2, h_h2) * scale
+        a_ho = masked_softmax(s_ho, jnp.ones_like(s_ho))
+        mg_ho = jnp.einsum("dbnm,dbmh->dbnh", a_ho, m_h[1])
+        s_oo = jnp.einsum("dbnh,dbmh->dbnm", h_o2, h_o2) * scale
+        a_oo = masked_softmax(s_oo, obj_mask_r * (1.0 - eye_o)[None, None])
+        mg_oo = jnp.einsum("dbnm,dbmh->dbnh", a_oo, m_o[1])
+
+        msgs_h = jnp.concatenate([mg_hh, mg_oh], axis=-1)    # (2,B,H,2h)
+        msgs_o = jnp.concatenate([mg_ho, mg_oo], axis=-1)    # (2,B,O,2h)
+        msgs4 = jnp.concatenate([pad_e(msgs_h, e_max), pad_e(msgs_o, e_max)], axis=0)
+
+        states4 = jnp.concatenate([pad_e(h_h2, e_max), pad_e(h_o2, e_max)], axis=0)
+        gi = gi4_i + jnp.einsum("sbnf,sfk->sbnk", msgs4, w_msg_gates4)
+        gh = jnp.einsum("sbnh,shk->sbnk", states4, w_hh4) + b_hh4[:, None, None]
+        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        h_new = (1.0 - z) * n + z * states4
+        u = u4_i[..., None]
+        out4 = u * h_new + (1.0 - u) * states4
+        h_h2_n = out4[:2, :, :num_humans]
+        h_o2_n = out4[2:, :, :num_objects]
+        return (h_h2_n, h_o2_n), (h_h2_n, h_o2_n, a_oh)
+
+    body = jax.checkpoint(step) if cfg.remat_segment_scan else step
+    _, (h_h_seq, h_o_seq, att_seq) = jax.lax.scan(body, init, (gi4, u4))
+
+    def order(seq, idx_f, idx_b):
+        fwd = jnp.moveaxis(seq[:, idx_f], 0, 1)
+        bwd = jnp.moveaxis(seq[::-1, idx_b], 0, 1)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+    hx_hs = order(h_h_seq, 0, 1)
+    hx_os = order(h_o_seq, 0, 1)
+    att_seg_f = jnp.moveaxis(att_seq[:, 0], 0, 1)            # (B,T,H,O)
+    att_seg_b = jnp.moveaxis(att_seq[::-1, 1], 0, 1)
+    return hx_hs, hx_os, att_seg_f, att_seg_b
 
 
 def _segment_scan(params, cfg: TGGCNConfig, x_hs, x_os, u_h, u_o, objects_mask,
