@@ -32,11 +32,9 @@ import jax.numpy as jnp
 from tggcn.nn.distributions import discrete_estimator
 from tggcn.nn.geo_gcn import apply_geo_gcn, init_geo_gcn
 from tggcn.nn.gru import (
-    gru_gates_input,
     gru_step_from_gates,
     init_bigru,
     init_gru_cell,
-    run_bigru,
     run_multi_bigru,
 )
 from tggcn.nn.messages import compute_message_features
@@ -90,6 +88,10 @@ class TGGCNConfig:
     # for HBM traffic on long sequences. Measured ~25% faster train steps on
     # v5e at the MPHOI headline shape, hence on by default.
     remat_segment_scan: bool = True
+    # lax.scan unroll factor for the recurrent scans (1 = no unrolling).
+    # Amortises per-iteration overhead on latency-bound recurrences;
+    # unroll=2 measured ~8% faster train steps on v5e.
+    scan_unroll: int = 2
     # Route the GeoGCN block through the fused Pallas TPU kernel
     # (tggcn/ops/geo_gcn_pallas.py). Forward-only path; leave off when
     # gradients through the geometry stream are needed (training) or on CPU.
@@ -301,23 +303,6 @@ def init_tggcn(key, cfg: TGGCNConfig) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _frame_bigru(params_rnn, params_mlp, x, h0_fwd=None):
-    """Per-entity BiGRU + embedding MLP (reference _process_frame_level_rnn).
-
-    x (B, T, E, h); entities fold into the batch axis so the scan body runs a
-    single (B*E, 3h) recurrent matmul per step. h0_fwd (B, E, h) optionally
-    seeds the forward direction (streaming windows).
-    """
-    b, t, e, f = x.shape
-    x_f = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * e, t, f)
-    if h0_fwd is not None:
-        h0_fwd = h0_fwd.reshape(b * e, -1)
-    h_fr = run_bigru(params_rnn, x_f, h0_fwd=h0_fwd)
-    h_fr = h_fr.reshape(b, e, t, -1).transpose(0, 2, 1, 3)  # (B, T, E, 2h)
-    h_f = apply_mlp(params_mlp, h_fr, activations=["relu"])
-    return h_f, h_fr
-
-
 def _cat_valid(tensors, axis=-1):
     return jnp.concatenate([t for t in tensors if t is not None], axis=axis)
 
@@ -409,7 +394,7 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
                carry.get("frame_geometry", jnp.zeros((b, 1, hidden), x_geo_emb.dtype))]
     h_hfr, h_ofr, _h_sfr = run_multi_bigru(
         [params["human_bd_rnn"], params["object_bd_rnn"], params["geometry_bd_rnn"]],
-        [x_hum_emb, x_obj_emb, x_geo_emb], h0_fwd_list=h0s)
+        [x_hum_emb, x_obj_emb, x_geo_emb], h0_fwd_list=h0s, unroll=cfg.scan_unroll)
     h_hf = apply_mlp(params["human_bd_embedding_mlp"], h_hfr, activations=["relu"])
     h_of = apply_mlp(params["object_bd_embedding_mlp"], h_ofr, activations=["relu"])
     h_sf = apply_mlp(params["geometry_bd_embedding_mlp"], _h_sfr, activations=["relu"])
@@ -755,7 +740,8 @@ def _segment_scan_fast(params, cfg: TGGCNConfig, x_hs, x_os, u_h, u_o, objects_m
         return (h_h2_n, h_o2_n), (h_h2_n, h_o2_n, a_oh)
 
     body = jax.checkpoint(step) if cfg.remat_segment_scan else step
-    _, (h_h_seq, h_o_seq, att_seq) = jax.lax.scan(body, init, (gi4, u4))
+    _, (h_h_seq, h_o_seq, att_seq) = jax.lax.scan(body, init, (gi4, u4),
+                                                  unroll=cfg.scan_unroll)
 
     def order(seq, idx_f, idx_b):
         fwd = jnp.moveaxis(seq[:, idx_f], 0, 1)

@@ -75,7 +75,7 @@ def run_gru(params: dict, xs: jnp.ndarray, reverse: bool = False,
     return jnp.swapaxes(hs, 0, 1)
 
 
-def run_multi_bigru(params_list, xs_list, h0_fwd_list=None):
+def run_multi_bigru(params_list, xs_list, h0_fwd_list=None, unroll: int = 1):
     """Run several same-width BiGRU streams in ONE bidirectional scan.
 
     The TGGCN frame level runs three entity streams (human / object /
@@ -149,7 +149,7 @@ def run_multi_bigru(params_list, xs_list, h0_fwd_list=None):
         h_b = gates(gi_b_i, h_b, w_hh_b, b_hh_b)
         return (h_f, h_b), (h_f, h_b)
 
-    _, (seq_f, seq_b) = jax.lax.scan(step, init, (gi_f, gi_b))
+    _, (seq_f, seq_b) = jax.lax.scan(step, init, (gi_f, gi_b), unroll=unroll)
     seq_b = seq_b[::-1]
     out = jnp.concatenate([seq_f, seq_b], axis=-1)           # (T, S, R, 2h)
     results = []
