@@ -106,3 +106,25 @@ def test_stage2_warm_start_from_stage1(tmp_path):
     assert "model_state_dict" in checkpoint
     # Stage 2 has the BCE segmentation loss active.
     assert len(checkpoint["train_losses"][0][1]) == 6
+
+
+@pytest.mark.slow
+def test_mtll_and_distance_attention_end_to_end(tmp_path):
+    """Exercise multi_task_loss_learner=true and make_attention_distance_based=true."""
+    import train as train_cli
+
+    paths = generate_mphoi_dataset(str(tmp_path / "data"), num_videos=8,
+                                   min_len=24, max_len=36, seed=14)
+    overrides = _mphoi_overrides(paths, tmp_path) + [
+        "misc.multi_task_loss_learner=true",
+        "misc.make_attention_distance_based=true",
+        "misc.segmentation_loss.add=true",
+        "misc.segmentation_loss.sigma=2.0",
+        "optimization.epochs=1",
+    ]
+    checkpoint = train_cli.main(overrides)
+    assert "model_state_dict" in checkpoint
+    # MTLL state saved alongside the model; raw-loss history recorded.
+    assert "mtll_model_state_dict" in checkpoint
+    assert len(checkpoint["train_raw_losses"]) == 1
+    assert np.isfinite(checkpoint["train_raw_losses"][0][0])

@@ -1,0 +1,59 @@
+"""Streaming-inference benchmark (BASELINE.json config #5).
+
+Long untrimmed video processed by the sliding-window streaming path
+(tggcn/models/streaming.py) on one TPU chip; reports frames/sec of
+end-to-end labelled output.
+
+Usage: python tools/bench_streaming.py [--frames 2048] [--window 128] [--lookahead 32]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frames", type=int, default=2048)
+    parser.add_argument("--window", type=int, default=128)
+    parser.add_argument("--lookahead", type=int, default=32)
+    parser.add_argument("--hidden", type=int, default=512)
+    args = parser.parse_args()
+
+    import jax
+
+    from tggcn.models.streaming import StreamingRunner
+    from tggcn.models.tggcn import TGGCNConfig, init_tggcn
+
+    cfg = TGGCNConfig(
+        input_size=(2152, 2048), num_classes=(13, None), hidden_size=args.hidden,
+        gcn_node=26, message_humans_to_human=True, message_human_to_objects=True,
+        message_objects_to_human=True, message_objects_to_object=True,
+        message_geometry_to_objects=True, message_segment=True,
+        message_type="v2", message_granularity="v1", message_aggregation="att",
+        attention_style="v3", discrete_optimization_strategy="st",
+        object_segment_update_strategy="ind", geometry_flatten="per_frame")
+    params = init_tggcn(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    t, num_humans, num_objects = args.frames, 2, 4
+    x_human = rng.normal(size=(1, t, num_humans, 2152)).astype(np.float32)
+    x_objects = rng.normal(size=(1, t, num_objects, 2048)).astype(np.float32)
+    mask = np.ones((1, num_objects), np.float32)
+
+    runner = StreamingRunner(params, cfg, window=args.window, lookahead=args.lookahead)
+    # Warm up (compiles the interior-chunk and final-chunk programs).
+    runner.run(x_human[:, : 2 * args.window + args.lookahead],
+               x_objects[:, : 2 * args.window + args.lookahead], mask)
+    start = time.perf_counter()
+    outputs = runner.run(x_human, x_objects, mask)
+    _ = np.asarray(outputs[-1])
+    elapsed = time.perf_counter() - start
+    print(f"streaming: {t} frames in {elapsed:.2f}s -> {t / elapsed:.1f} frames/s "
+          f"(window {args.window}, lookahead {args.lookahead}, latency/window "
+          f"{elapsed / (t / args.window) * 1000:.1f} ms)")
+
+
+if __name__ == "__main__":
+    main()
