@@ -70,11 +70,13 @@ class StreamingRunner:
             # Chunks are NOT padded: zero pad frames would corrupt the
             # backward GRU carry at the real frames. The final (shorter)
             # chunk costs at most one extra compilation.
-            xh = x_human[:, start:end]
-            xo = x_objects[:, start:end]
+            # Device-resident chunk inputs: passing host numpy into jit costs
+            # a synchronous per-call transfer on remote-TPU deployments.
+            xh = jax.device_put(x_human[:, start:end])
+            xo = jax.device_put(x_objects[:, start:end])
             seg = None
             if human_segmentation is not None:
-                seg = human_segmentation[:, start:end]
+                seg = jax.device_put(human_segmentation[:, start:end])
             steps = np.full((b,), float(end - start), dtype=np.float32)
             outputs, carry_seq = self._jitted(self.params, xh, xo, objects_mask,
                                               steps, carry, seg, is_last)
@@ -95,8 +97,8 @@ class StreamingRunner:
                     axis = 2 if o.ndim == 4 else 1
                     emitted[i] = np.concatenate([emitted[i], o], axis=axis)
             # Slice the forward carries at the emit boundary so lookahead
-            # frames never contaminate the next window's state.
+            # frames never contaminate the next window's state. Stays on
+            # device — no host round trip between windows.
             boundary = emit - 1
-            carry = {k: jnp.asarray(np.asarray(v)[:, boundary])
-                     for k, v in carry_seq.items()}
+            carry = {k: v[:, boundary] for k, v in carry_seq.items()}
         return emitted

@@ -8,10 +8,13 @@ Usage: python tools/bench_streaming.py [--frames 2048] [--window 128] [--lookahe
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
