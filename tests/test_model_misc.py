@@ -49,3 +49,35 @@ def test_bucket_by_length_and_loader():
     assert len(batches) == 5
     seen = np.concatenate([b[1] for b in batches])
     assert set(seen.tolist()) == set(range(6)) | set(range(100, 104))
+
+
+def test_shared_level_mlps_single_parameter():
+    """share_level_mlps must reuse ONE tensor for both levels (gradient
+    accumulation semantics of the reference's module aliasing)."""
+    import jax.numpy as jnp
+
+    cfg = TGGCNConfig(input_size=(2152, 2048), num_classes=(13, None), hidden_size=8,
+                      gcn_node=26, message_humans_to_human=True, message_segment=False,
+                      message_type="v2", message_granularity="v1",
+                      message_aggregation="att", attention_style="v3",
+                      discrete_optimization_strategy="st",
+                      object_segment_update_strategy="ind", share_level_mlps=True)
+    params = init_tggcn(jax.random.PRNGKey(0), cfg)
+    assert "human_frame_recognition_mlp" not in params  # no duplicate tensor
+
+    rng = np.random.default_rng(1)
+    b, t = 1, 4
+    x_h = rng.normal(size=(b, t, 2, 2152)).astype(np.float32)
+    x_o = rng.normal(size=(b, t, 2, 2048)).astype(np.float32)
+    mask = np.ones((b, 2), np.float32)
+
+    def loss(p):
+        outputs, _ = apply_tggcn(p, cfg, x_h, x_o, mask,
+                                 steps_per_example=np.full((b,), float(t), np.float32),
+                                 rng=jax.random.PRNGKey(0))
+        # Frame-level head output only (outputs[2] = y_hf_rec).
+        return jnp.sum(outputs[2])
+
+    grads = jax.grad(loss)(params)
+    g = np.asarray(grads["human_recognition_mlp"]["layers"][0]["w"])
+    assert np.abs(g).max() > 0  # frame-head gradient lands on the shared tensor

@@ -212,11 +212,11 @@ def tggcn_params_from_torch_state_dict(sd: Dict[str, np.ndarray], cfg: TGGCNConf
         if f"{head}.0.weight" in sd:
             params[head] = _mlp(sd, head)
     if cfg.share_level_mlps and not cfg.cat_level_states:
-        params["human_frame_recognition_mlp"] = params["human_recognition_mlp"]
-        params["human_frame_prediction_mlp"] = params["human_prediction_mlp"]
-        if cfg.num_classes[1] is not None:
-            params["object_frame_recognition_mlp"] = params["object_recognition_mlp"]
-            params["object_frame_prediction_mlp"] = params["object_prediction_mlp"]
+        # Shared level heads carry no separate parameters (see init_tggcn);
+        # drop any frame-head entries picked up from the state_dict aliases.
+        for head in ["human_frame_recognition_mlp", "human_frame_prediction_mlp",
+                     "object_frame_recognition_mlp", "object_frame_prediction_mlp"]:
+            params.pop(head, None)
     return params
 
 

@@ -5,6 +5,12 @@ The reference pads every batch to the global longest video
 groups videos by downsampled length into a few contiguous buckets, pads each
 bucket to its own max, and interleaves bucket batches. Each bucket is one
 static program shape for XLA, so at most `num_buckets` compilations.
+
+Numerics note: with the reference-parity geometry reshape
+(TGGCNConfig.geometry_flatten='reference', a raw-memory reshape whose layout
+depends on the padded length T), per-bucket padding changes the geometry
+embedding inputs relative to global padding. Use geometry_flatten='per_frame'
+when exact invariance to the padded length matters.
 """
 
 from typing import Callable, List

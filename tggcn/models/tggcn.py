@@ -284,11 +284,13 @@ def init_tggcn(key, cfg: TGGCNConfig) -> dict:
         params["object_recognition_mlp"] = init_mlp(next(keys), [label_in, num_affordances], bias=bias)
         params["object_prediction_mlp"] = init_mlp(next(keys), [label_in, num_affordances], bias=bias)
     if cfg.share_level_mlps and not cfg.cat_level_states:
-        params["human_frame_recognition_mlp"] = params["human_recognition_mlp"]
-        params["human_frame_prediction_mlp"] = params["human_prediction_mlp"]
-        if num_affordances is not None:
-            params["object_frame_recognition_mlp"] = params["object_recognition_mlp"]
-            params["object_frame_prediction_mlp"] = params["object_prediction_mlp"]
+        # Shared level MLPs: no separate frame-head parameters are created;
+        # apply_tggcn resolves frame heads to the segment-level heads so
+        # gradients from both levels accumulate into ONE tensor (matching the
+        # reference's module aliasing, models.py:565-570). Creating aliased
+        # pytree entries instead would silently split them into independent
+        # parameters at the first optimizer update.
+        pass
     else:
         params["human_frame_recognition_mlp"] = init_mlp(next(keys), [2 * h, num_subactivities], bias=bias)
         params["human_frame_prediction_mlp"] = init_mlp(next(keys), [2 * h, num_subactivities], bias=bias)
@@ -557,7 +559,13 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
         hx_os = jnp.concatenate([hx_os, h_ofr], axis=-1)
 
     # --- Heads -------------------------------------------------------------
+    shared = cfg.share_level_mlps and not cfg.cat_level_states
+
     def head(name, x):
+        if shared and name.endswith("_frame_recognition_mlp"):
+            name = name.replace("_frame_recognition_mlp", "_recognition_mlp")
+        elif shared and name.endswith("_frame_prediction_mlp"):
+            name = name.replace("_frame_prediction_mlp", "_prediction_mlp")
         out = apply_mlp(params[name], x, activations=[{"name": "logsoftmax", "dim": -1}])
         return jnp.transpose(out, (0, 3, 1, 2))  # (B, C, T, E)
 

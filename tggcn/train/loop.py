@@ -298,7 +298,7 @@ def train(model, train_loader, optimizer, criterion, epochs, loss_names,
                     writer.add_scalar(f"Loss/mtll_weight/{loss_name}", weight, epoch)
             writer.add_scalar("Loss/train/total", float(cur_train_raw[-n_main:].sum()), epoch)
 
-        if val_loader is not None:
+        if val_loader is not None and val_loader.num_examples > 0:
             cur_val, cur_val_raw = evaluate(eval_step, trainable, val_loader,
                                             fetch_model_data, eval_rng,
                                             val_loader.batch_size, num_inputs, mesh=mesh)
