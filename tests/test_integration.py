@@ -128,3 +128,31 @@ def test_mtll_and_distance_attention_end_to_end(tmp_path):
     assert "mtll_model_state_dict" in checkpoint
     assert len(checkpoint["train_raw_losses"]) == 1
     assert np.isfinite(checkpoint["train_raw_losses"][0][0])
+
+
+@pytest.mark.slow
+def test_predict_cross_validate_aggregation(tmp_path, capsys):
+    """Train two MPHOI folds, then aggregate with predict.py --cross_validate."""
+    import argparse
+
+    import predict as predict_cli
+    import train as train_cli
+
+    paths = generate_mphoi_dataset(str(tmp_path / "data"), num_videos=10,
+                                   min_len=24, max_len=34, seed=15)
+    for subject in ("Subject45", "Subject12"):
+        overrides = _mphoi_overrides(paths, tmp_path, subject=subject)
+        overrides += ["optimization.epochs=1", "parameters.hidden_size=8"]
+        train_cli.main(overrides)
+    run_dir = os.path.join(str(tmp_path), "outputs", "mphoi", "2G-GCN",
+                           "hs8_e1_bs2_lr0.0001_0.5_Subject45")
+    args = argparse.Namespace(pretrained_model_dir=run_dir, cross_validate=True,
+                              convert_frame_to_segment_level=False,
+                              save_visualisations_dir=None, inspect_model=False)
+    predict_cli.predict_all(args)
+    out = capsys.readouterr().out
+    # Subject45 evaluated; Subject12 is not a CV fold id, Subject25/14 runs
+    # absent -> skipped via FileNotFoundError (reference behaviour).
+    assert "Summary Performance for Cross-validation." in out
+    assert "Summary F1@k results." in out
+    assert "sub-activity_recognition" in out
