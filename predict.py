@@ -35,7 +35,7 @@ from tggcn.models import select_model
 from tggcn.models.tggcn import TGGCNConfig
 from tggcn.train.checkpoint import load_checkpoint, load_model_weights, merge_params
 from tggcn.train.loop import pad_batch
-from tggcn.train.losses import decide_num_main_losses, extract_value
+from tggcn.train.losses import decide_num_main_losses
 from tggcn.utils.io import cleanup_directory, read_dictionary
 # Native C++ F1@k kernels with transparent numpy fallback (tggcn/utils/native.py).
 from tggcn.utils.native import f1_at_k, f1_at_k_single_example
