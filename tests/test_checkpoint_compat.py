@@ -71,3 +71,13 @@ def test_last_snapshot_roundtrip(tmp_path):
     loaded = load_last(str(tmp_path))
     assert loaded["epoch"] == 5 and loaded["best_val_loss"] == 1.25
     assert load_last(str(tmp_path / "nope")) is None
+
+
+def test_orbax_params_roundtrip(tmp_path):
+    from tggcn.train.checkpoint import load_params_orbax, save_params_orbax
+
+    params = {"layer": {"w": np.arange(12.0).reshape(3, 4), "b": np.ones(4)}}
+    path = save_params_orbax(str(tmp_path / "params.orbax"), params)
+    restored = load_params_orbax(path)
+    np.testing.assert_allclose(restored["layer"]["w"], params["layer"]["w"])
+    np.testing.assert_allclose(restored["layer"]["b"], params["layer"]["b"])

@@ -56,3 +56,23 @@ def test_reference_matches_geo_gcn_module():
         params["weight"])
     np.testing.assert_allclose(np.asarray(fused.reshape(2, 5, v, -1)),
                                np.asarray(module_out), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_custom_vjp_matches_reference_grad():
+    """geo_gcn_fused gradients (custom VJP) == jax.grad of the XLA reference."""
+    v = 19
+    x = jax.random.normal(jax.random.PRNGKey(1), (9, v, 4))
+    w = _weights(jax.random.PRNGKey(2))
+    order = ("w1", "b1", "w2", "b2", "ws1", "bs1", "ws2", "bs2", "w_out")
+
+    def loss_ref(x, *weights):
+        return jnp.sum(geo_gcn_reference(x, **dict(zip(order, weights))) ** 2)
+
+    def loss_fused(x, *weights):
+        return jnp.sum(geo_gcn_fused(x, *weights, tile_n=8, interpret=True) ** 2)
+
+    args = (x,) + tuple(w[k] for k in order)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(len(args))))(*args)
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(len(args))))(*args)
+    for a, b in zip(g_ref, g_fused):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)

@@ -93,8 +93,9 @@ class TGGCNConfig:
     # unroll=2 measured ~8% faster train steps on v5e.
     scan_unroll: int = 2
     # Route the GeoGCN block through the fused Pallas TPU kernel
-    # (tggcn/ops/geo_gcn_pallas.py). Forward-only path; leave off when
-    # gradients through the geometry stream are needed (training) or on CPU.
+    # (tggcn/ops/geo_gcn_pallas.py). Differentiable (custom VJP backed by the
+    # XLA reference backward), so valid for training and inference on TPU;
+    # leave off on CPU (kernel requires Mosaic unless interpret mode).
     use_pallas_geo_gcn: bool = False
 
     @classmethod

@@ -41,7 +41,9 @@ def apply_geo_gcn(params: dict, x: jnp.ndarray, train: bool = False,
     Arguments:
         x - (batch, time, nodes, in_channels) geometry tensor.
         use_pallas - route the post-BatchNorm pipeline through the fused
-            Pallas TPU kernel (tggcn/ops/geo_gcn_pallas.py).
+            Pallas TPU kernel (tggcn/ops/geo_gcn_pallas.py). Differentiable:
+            the kernel carries a custom VJP whose backward is the XLA
+            reference implementation's.
     Returns:
         (out, new_bn_state): out is (batch, time, nodes, out_channels).
     """

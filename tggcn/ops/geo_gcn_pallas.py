@@ -58,9 +58,37 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ws1_ref, bs1_ref, ws2_ref,
     out_ref[:] = out.reshape(tile_n, v, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
 def geo_gcn_fused(x_norm, w1, b1, w2, b2, ws1, bs1, ws2, bs2, w_out,
                   tile_n: int = 16, interpret: bool = False):
+    """Differentiable fused GeoGCN: Pallas forward, XLA-reference backward.
+
+    The forward runs the VMEM-resident Pallas kernel; the backward is the VJP
+    of the mathematically identical XLA implementation (geo_gcn_reference),
+    so the kernel is usable in training, not just inference.
+    """
+    return _geo_gcn_fused_impl(x_norm, w1, b1, w2, b2, ws1, bs1, ws2, bs2, w_out,
+                               tile_n=tile_n, interpret=interpret)
+
+
+def _geo_gcn_fused_fwd(x_norm, w1, b1, w2, b2, ws1, bs1, ws2, bs2, w_out,
+                       tile_n, interpret):
+    out = _geo_gcn_fused_impl(x_norm, w1, b1, w2, b2, ws1, bs1, ws2, bs2, w_out,
+                              tile_n=tile_n, interpret=interpret)
+    return out, (x_norm, w1, b1, w2, b2, ws1, bs1, ws2, bs2, w_out)
+
+
+def _geo_gcn_fused_bwd(tile_n, interpret, residuals, g):
+    _, vjp = jax.vjp(geo_gcn_reference, *residuals)
+    return vjp(g)
+
+
+geo_gcn_fused.defvjp(_geo_gcn_fused_fwd, _geo_gcn_fused_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def _geo_gcn_fused_impl(x_norm, w1, b1, w2, b2, ws1, bs1, ws2, bs2, w_out,
+                        tile_n: int = 16, interpret: bool = False):
     """Fused GeoGCN over (N, V, 4) frames; pads N up to a tile multiple."""
     n, v, c_in = x_norm.shape
     out_c = w_out.shape[-1]

@@ -66,6 +66,28 @@ def load_last(log_dir: str) -> Optional[dict]:
         return pickle.load(f)
 
 
+def save_params_orbax(path: str, params) -> str:
+    """Save a parameter pytree via orbax (optional array-storage backend).
+
+    The pickle run-dir contract stays the canonical format (it carries
+    non-array metadata: scalers, loss histories); orbax covers the idiomatic
+    JAX array-checkpoint use case (async-capable, multi-host-safe layout).
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as checkpointer:
+        checkpointer.save(path, _to_numpy(params), force=True)
+    return path
+
+
+def load_params_orbax(path: str):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as checkpointer:
+        return checkpointer.restore(os.path.abspath(path))
+
+
 def load_model_weights(model_dir: str, cfg=None):
     """Load the model weights from a run dir (reference models.py:1630-1634).
 
