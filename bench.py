@@ -13,7 +13,12 @@ recorded in BASELINE.md).
 """
 
 import json
+import os
 import time
+
+# Persistent compile cache: repeated bench runs skip the multi-minute remote
+# compile of the full train step.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 import numpy as np
 import jax.numpy as jnp

@@ -367,6 +367,11 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
     # --- Geometry stream -------------------------------------------------
     x_vis, x_geometry = _split_geometry(x_human)
     vw = x_geometry.shape[-1]
+    if vw // 4 != cfg.gcn_node:
+        raise ValueError(
+            f"gcn_node={cfg.gcn_node} is inconsistent with the geometry feature "
+            f"width {vw} (expected gcn_node={vw // 4}; use 19 for CAD-120, "
+            f"30 for Bimanual, 26 for MPHOI).")
     x_geometry = x_geometry.reshape(b, t, vw // 4, 4)
     geo_out, bn_state = apply_geo_gcn(params["geometry_embedding_gcn"], x_geometry,
                                       train=train, use_pallas=cfg.use_pallas_geo_gcn)
