@@ -7,492 +7,115 @@ Usage:
 
 Reference behaviour reproduced (reference predict.py:20-536): run-dir
 discovery through the frozen .hydra/config.yaml, batch-128 inference with
-labels kept at full FPS and predictions upsampled by repeat_interleave +
-pad/trim, the Bimanual 15-FPS fixup, per-subject micro/macro P/R/F1 +
-F1@{0.10,0.25,0.50}, cross-validated aggregation by swapping the _SubjectX
-run-dir suffix, optional segmentation visualisations, per-example F1 dumps
-and gt/our JSON label dumps.
+labels kept at full FPS and predictions upsampled by frame repetition, the
+Bimanual 15-FPS fixup, per-subject micro/macro P/R/F1 + F1@{0.10,0.25,0.50},
+cross-validated aggregation by swapping the _SubjectX run-dir suffix,
+optional segmentation visualisations, per-example F1 dumps and gt/our JSON
+label dumps. Also accepts reference .tar (torch) run dirs via tggcn.compat.
 
-Also accepts reference .tar (torch) run dirs via tggcn.compat.
+The engine lives in tggcn/eval/ (rundir discovery, inference, reporting);
+this file is only argument parsing and orchestration.
 """
 
 import argparse
-import json
 import os
-from collections import defaultdict
 
-import jax
 import numpy as np
 
-from tggcn.config import load_config
-from tggcn.data.loading import (
-    determine_num_classes,
-    load_testing_data,
-    select_model_data_feeder,
-    select_model_data_fetcher,
+from tggcn.eval.engine import run_inference
+from tggcn.eval.reporting import (
+    OVERLAPS,
+    dump_f1_scores_per_example,
+    dump_label_jsons,
+    dump_visualisations,
+    evaluate_f1_at_k,
+    evaluate_predictions,
+    print_cross_validation_summary,
 )
-from tggcn.models import select_model
-from tggcn.models.tggcn import TGGCNConfig
-from tggcn.train.checkpoint import load_checkpoint, load_model_weights, merge_params
-from tggcn.train.loop import pad_batch
-from tggcn.train.losses import decide_num_main_losses
-from tggcn.utils.io import cleanup_directory, read_dictionary
-# Native C++ F1@k kernels with transparent numpy fallback (tggcn/utils/native.py).
-from tggcn.utils.native import f1_at_k, f1_at_k_single_example
+from tggcn.eval.rundir import RunDir, class_names_in_id_order
+from tggcn.utils.io import cleanup_directory
 
 
 def predict(model_dir, frame_to_segment_level=False, inspect_model=False):
-    """Run inference for one trained run dir (reference predict.py:20-92)."""
-    cfg = load_config(os.path.join(model_dir, ".hydra", "config.yaml"))
-    model_name, model_input_type = cfg.metadata.model_name, cfg.metadata.input_type
-    basename = os.path.basename(os.path.normpath(model_dir))
-    ckpt_path = os.path.join(model_dir, basename + ".ckpt")
-    scalers = None
-    if os.path.exists(ckpt_path):
-        checkpoint = load_checkpoint(ckpt_path)
-        scalers = checkpoint.get("scalers", None)
-
-    test_loader, data_info, segmentations, test_ids = load_testing_data(
-        cfg.data, model_name, model_input_type, batch_size=128, scalers=scalers)
-
-    dataset_name = cfg.data.get("name", default_value="cad120")
-    num_classes = determine_num_classes(model_name, model_input_type, dataset_name)
-    model = select_model(model_name, num_classes=num_classes,
-                         **{**data_info, **cfg.parameters})
-    params = model.init(jax.random.PRNGKey(42))
-    compat_cfg = model.config if isinstance(model.config, TGGCNConfig) else None
-    params = merge_params(params, load_model_weights(model_dir, cfg=compat_cfg))
-
-    misc_dict = cfg.get("misc", default_value={})
-    fetch_model_data = select_model_data_fetcher(
-        model_name, model_input_type, dataset_name=dataset_name,
-        **{**misc_dict, **cfg.parameters})
-    feed_model_data = select_model_data_feeder(
-        model_name, model_input_type, dataset_name=dataset_name,
-        **{**misc_dict})
-    num_main_losses = decide_num_main_losses(model_name, dataset_name,
-                                             {**misc_dict, **cfg.parameters})
-    downsampling = cfg.data.get("downsampling", default_value=1)
-    num_inputs = 8 if model_name == "2G-GCN" else 3
-
-    @jax.jit
-    def forward(params, data):
-        return model.apply(params, train=False, rng=jax.random.PRNGKey(42),
-                           inspect_model=inspect_model, **feed_model_data(data))
-
-    batch_size = min(128, test_loader.num_examples)
-    outputs, targets, attentions = [], [], []
-    for batch in test_loader:
-        true_rows = len(batch[0])
-        batch = pad_batch(batch, batch_size, num_inputs)
-        data, target = fetch_model_data(batch)
-        output, aux = forward(params, data)
-        output = [np.asarray(o)[:true_rows] for o in output]
-        target = [np.asarray(t)[:true_rows] for t in target]
-        if inspect_model:
-            attention_scores = [np.asarray(a)[:true_rows, 0]
-                                for a in aux["attention_scores"]]
-        if num_main_losses is not None:
-            output = output[-num_main_losses:]
-            target = target[-num_main_losses:]
-        if downsampling > 1:
-            for i, (out, tgt) in enumerate(zip(output, target)):
-                if out.ndim != 4:
-                    raise RuntimeError(f"Number of dimensions for output is {out.ndim}")
-                out = np.repeat(out, downsampling, axis=-2)
-                output[i] = match_shape(out, tgt)
-            if inspect_model:
-                a_target = target[0]
-                attention_scores = [np.repeat(a, downsampling, axis=-2)
-                                    for a in attention_scores]
-                attention_scores = [match_att_shape(a, a_target) for a in attention_scores]
-                attentions.append(attention_scores)
-        outputs.append(output)
-        targets.append(target)
-    if dataset_name == "bimanual":
-        with open(cfg.data.video_id_to_video_fps, mode="r") as f:
-            video_id_to_video_fps = json.load(f)
-        outputs, targets = downsample_bad_bimanual_videos(outputs, targets, test_ids,
-                                                          video_id_to_video_fps)
-    index_to_name = select_index_to_name_mapping(model_name, model_input_type, dataset_name)
-    is_safe = (misc_dict.get("input_human_segmentation", False) and
-               misc_dict.get("input_object_segmentation", False))
-    if frame_to_segment_level and is_safe:
-        outputs = summarize_frames_into_segments(outputs, segmentations, is_ground_truth=False)
-        targets = summarize_frames_into_segments(targets, segmentations, is_ground_truth=True)
-    outputs = process_output(outputs, is_ground_truth=False, index_to_name=index_to_name)
-    targets = process_output(targets, is_ground_truth=True, index_to_name=index_to_name)
+    """Run inference for one trained run dir; returns (outputs, targets, ids)."""
+    outputs, targets, test_ids, attentions = run_inference(
+        RunDir(model_dir), frame_to_segment_level, inspect_model)
+    if inspect_model and attentions is not None:
+        att_path = os.path.join(model_dir, "attention_scores.npz")
+        np.savez(att_path, **{f"source_{i}": a for i, a in enumerate(attentions)})
+        print(f"Saved attention scores to {att_path}")
     return outputs, targets, test_ids
 
 
-def match_shape(out, tgt):
-    """Trim or last-frame-pad upsampled outputs to the target length (reference :95-116)."""
-    if out.ndim == 3:
-        out_steps, tgt_steps = out.shape[-1], tgt.shape[-1]
-        if out_steps >= tgt_steps:
-            return out[..., :tgt_steps]
-        pad = np.repeat(out[..., -1:], tgt_steps - out_steps, axis=-1)
-        return np.concatenate([out, pad], axis=-1)
-    if out.ndim == 4:
-        out_steps, tgt_steps = out.shape[-2], tgt.shape[-2]
-        if out_steps >= tgt_steps:
-            return out[:, :, :tgt_steps]
-        pad = np.repeat(out[:, :, -1:], tgt_steps - out_steps, axis=2)
-        return np.concatenate([out, pad], axis=2)
-    return out
+def _evaluate_fold(outputs, targets, subactivity_names, affordance_names):
+    """Frame metrics + F1@k sweep for one fold; returns both result dicts."""
+    frame_results = evaluate_predictions(targets, outputs,
+                                         subactivity_names=subactivity_names,
+                                         affordance_names=affordance_names)
+    num_sa = len(subactivity_names) if subactivity_names else None
+    num_af = len(affordance_names) if affordance_names else None
+    f1_results = {overlap: evaluate_f1_at_k(targets, outputs, num_sa, num_af,
+                                            overlap=overlap)
+                  for overlap in OVERLAPS}
+    return frame_results, f1_results
 
 
-def match_att_shape(att_score, a_target):
-    att_steps, tgt_steps = att_score.shape[1], a_target.shape[1]
-    if att_steps >= tgt_steps:
-        return att_score[..., :tgt_steps]
-    pad = np.repeat(att_score[:, -1:, :], tgt_steps - att_steps, axis=1)
-    return np.concatenate([att_score, pad], axis=1)
-
-
-def downsample_bad_bimanual_videos(outputs, targets, test_ids, video_id_to_video_fps):
-    """Undo the 15-FPS frame doubling at eval time (reference :136-156)."""
-    for video_index, video_id in enumerate(test_ids):
-        if video_id_to_video_fps[video_id] != 15:
-            continue
-        for output, target in zip(outputs, targets):
-            for i, (out, tar) in enumerate(zip(output, target)):
-                y_pred, y_true = out[video_index], tar[video_index]
-                original_len = len(y_true)
-                y_pred, y_true = y_pred[:, 1::2, :], y_true[1::2, :]
-                diff_len = original_len - len(y_true)
-                rubbish = np.full((y_pred.shape[0], diff_len, y_pred.shape[2]), -100.0,
-                                  dtype=y_pred.dtype)
-                out[video_index] = np.concatenate([y_pred, rubbish], axis=1)
-                negative_ones = np.full((diff_len, y_true.shape[1]), -1, dtype=y_true.dtype)
-                tar[video_index] = np.concatenate([y_true, negative_ones], axis=0)
-    return outputs, targets
-
-
-def summarize_frames_into_segments(labels, segmentations, is_ground_truth):
-    """Frame-level -> segment-level labels via GT segment starts (reference :159-183)."""
-    max_pad_length = max(len(segmentation) for segmentation in segmentations)
-    starts = [np.array([segment[0] for segment in segmentation], dtype=np.int64)
-              for segmentation in segmentations]
-    axis = 0 if is_ground_truth else 1  # class dim precedes time for predictions
-    summarized_labels = []
-    for label in labels:
-        summarized_labels.append([])
-        for tensor in label:
-            rows = []
-            for tensor_slice, slice_starts in zip(tensor, starts):
-                summarized = np.take(tensor_slice, slice_starts, axis=axis)
-                pad_len = max_pad_length - summarized.shape[axis]
-                pad_width = [(0, 0)] * summarized.ndim
-                pad_width[axis] = (0, pad_len)
-                rows.append(np.pad(summarized, pad_width, constant_values=-1.0))
-            summarized_labels[-1].append(np.stack(rows, axis=0))
-    return summarized_labels
-
-
-def process_output(outputs, is_ground_truth=False, index_to_name=None):
-    """Concatenate batches; argmax over the class dim for predictions (reference :186-202)."""
-    index_to_tensors = defaultdict(list)
-    for output in outputs:
-        for i, tensor in enumerate(output):
-            index = index_to_name[i] if index_to_name is not None else i
-            index_to_tensors[index].append(np.asarray(tensor))
-    index_to_processed = {}
-    for index, tensors in index_to_tensors.items():
-        tensors = np.concatenate(tensors, axis=0)
-        if not is_ground_truth:
-            tensors = np.argmax(tensors, axis=1)
-        index_to_processed[index] = tensors
-    return index_to_processed
-
-
-def evaluate_predictions(targets, outputs, print_report=True, subactivity_names=None,
-                         affordance_names=None):
-    from sklearn.metrics import classification_report, precision_recall_fscore_support
-
-    results = {}
-    for index, target in sorted(targets.items()):
-        output = outputs[index].reshape(-1)
-        target = target.reshape(-1)
-        output = output[target != -1]
-        target = target[target != -1]
-        if print_report:
-            problem_type = "Recognition" if "recognition" in index else "Prediction"
-            if "affordance" in index:
-                problem_class, target_names = "Affordance", affordance_names
-            else:
-                problem_class, target_names = "Sub-activity", subactivity_names
-            labels = range(len(target_names))
-            print(f"{problem_class} {problem_type}")
-            print(classification_report(target, output, labels=labels,
-                                        target_names=target_names, digits=4))
-        for average in ["micro", "macro"]:
-            precision, recall, f1, _ = precision_recall_fscore_support(
-                target, output, average=average, zero_division=0)
-            results[str(index) + "-" + average] = {"precision": precision,
-                                                   "recall": recall, "f1": f1}
-    return results
-
-
-def evaluate_f1_at_k(targets, outputs, num_subactivities, num_affordances,
-                     overlap: float = 0.25):
-    results = {}
-    print(f"\n\nF1@{overlap} metric.")
-    for index, target in sorted(targets.items()):
-        output = outputs[index]
-        if target.ndim == 3:
-            target = np.swapaxes(target, 1, 2)
-            output = np.swapaxes(output, 1, 2)
-        num_steps = output.shape[-1]
-        output = output.reshape(-1, num_steps)
-        target = target.reshape(-1, num_steps)
-        problem_type = "Recognition" if "recognition" in index else "Prediction"
-        problem_class = "Affordance" if "affordance" in index else "Sub-activity"
-        num_classes = num_affordances if problem_class == "Affordance" else num_subactivities
-        f1 = f1_at_k(target, output, num_classes, overlap=overlap, ignore_value=-1.0)
-        print(f"{problem_class} {problem_type}")
-        print(f"F1@{overlap}: {f1:.4f}")
-        results[index] = f1
-    return results
-
-
-def select_index_to_name_mapping(model_name, model_input_type, dataset_name):
-    if model_name == "2G-GCN":
-        if dataset_name == "cad120":
-            return {0: "sub-activity_recognition", 1: "sub-activity_prediction",
-                    2: "affordance_recognition", 3: "affordance_prediction"}
-        return {0: "sub-activity_recognition", 1: "sub-activity_prediction"}
-    if model_name in {"bimanual_baseline"}:
-        return {0: "sub-activity_recognition"}
-    if model_name in {"cad120_baseline"}:
-        return {0: "sub-activity_recognition", 1: "affordance_recognition"}
-    if model_input_type == "human":
-        return {0: "sub-activity_recognition", 1: "sub-activity_prediction"}
-    return {0: "affordance_recognition", 1: "affordance_prediction"}
-
-
-def maybe_load_class_dictionaries(model_dir):
-    cfg = load_config(os.path.join(model_dir, ".hydra", "config.yaml"))
-    subactivity_id_to_name = affordance_id_to_name = None
-    dataset_name = cfg.data.get("name", default_value="cad120")
-    if dataset_name == "cad120":
-        dictionaries_dir = os.path.dirname(cfg.data.video_id_to_subject_id)
-        try:
-            subactivity_id_to_name = read_dictionary(
-                os.path.join(dictionaries_dir, "subactivity-id_to_subactivity-name.txt"))
-            subactivity_id_to_name = {int(k) - 1: v for k, v in subactivity_id_to_name.items()}
-        except FileNotFoundError:
-            pass
-        try:
-            affordance_id_to_name = read_dictionary(
-                os.path.join(dictionaries_dir, "affordance-id_to_affordance-name.txt"))
-            affordance_id_to_name = {int(k) - 1: v for k, v in affordance_id_to_name.items()}
-        except FileNotFoundError:
-            pass
-    elif dataset_name == "bimanual":
-        dictionaries_dir = os.path.dirname(cfg.data.video_id_to_video_fps)
-        with open(os.path.join(dictionaries_dir, "bimacs_action_id_to_action_name.json")) as f:
-            subactivity_id_to_name = {int(k): v for k, v in json.load(f).items()}
-    else:
-        dictionaries_dir = os.path.dirname(cfg.data.path)
-        with open(os.path.join(dictionaries_dir, "mphoi_action_id_to_action_name.json")) as f:
-            subactivity_id_to_name = {int(k): v for k, v in json.load(f).items()}
-    return subactivity_id_to_name, affordance_id_to_name
-
-
-def maybe_get_class_names(id_to_name=None):
-    if id_to_name is None:
-        return None
-    return [v for _, v in sorted(id_to_name.items(), key=lambda x: x[0])]
-
-
-def fetch_dataset_name(model_dir):
-    cfg = load_config(os.path.join(model_dir, ".hydra", "config.yaml"))
-    return cfg.data.get("name", default_value="cad120")
+def _dump_fold_artifacts(save_dir, outputs, targets, test_ids,
+                         subactivity_id_to_name, affordance_id_to_name):
+    os.makedirs(save_dir, exist_ok=True)
+    cleanup_directory(save_dir)
+    dump_visualisations(save_dir, outputs, targets, test_ids,
+                        subactivity_id_to_name, affordance_id_to_name)
+    for overlap in OVERLAPS:
+        dump_f1_scores_per_example(save_dir, outputs, targets, test_ids,
+                                   subactivity_id_to_name, affordance_id_to_name,
+                                   overlap)
 
 
 def predict_all(args):
-    pretrained_model_dir = args.pretrained_model_dir
-    subactivity_id_to_name, affordance_id_to_name = \
-        maybe_load_class_dictionaries(pretrained_model_dir)
-    subactivity_names = maybe_get_class_names(subactivity_id_to_name)
-    affordance_names = maybe_get_class_names(affordance_id_to_name)
-    overlaps = [0.10, 0.25, 0.50]
-    if args.cross_validate:
-        basename = os.path.basename(os.path.normpath(pretrained_model_dir))
-        model_id = "_".join(basename.split(sep="_")[:-1])
-        dirname = os.path.dirname(os.path.normpath(pretrained_model_dir))
-        dataset_name = fetch_dataset_name(pretrained_model_dir)
-        if dataset_name == "cad120":
-            test_subject_ids = ["Subject1", "Subject3", "Subject4", "Subject5"]
-        elif dataset_name == "bimanual":
-            test_subject_ids = list("123456")
-        else:
-            test_subject_ids = ["Subject45", "Subject25", "Subject14"]
-        outputs_per_subject = {}
-        for subject_id in test_subject_ids:
-            current_model_dir = os.path.join(dirname, model_id + "_" + subject_id)
-            try:
-                outputs, targets, test_ids = predict(
-                    current_model_dir, args.convert_frame_to_segment_level, args.inspect_model)
-            except FileNotFoundError:
-                continue
-            outputs_per_subject[subject_id] = outputs, targets, test_ids
-        results_per_subject = {}
-        f1_results_per_subject = {}
-        for subject_id, (output, target, _) in sorted(outputs_per_subject.items()):
-            print(f"\n{subject_id}")
-            results_per_subject[subject_id] = evaluate_predictions(
-                target, output, subactivity_names=subactivity_names,
-                affordance_names=affordance_names)
-            num_subactivities = len(subactivity_names) if subactivity_names else None
-            num_affordances = len(affordance_names) if affordance_names else None
-            for overlap in overlaps:
-                results_f1 = evaluate_f1_at_k(target, output, num_subactivities,
-                                              num_affordances, overlap=overlap)
-                f1_results_per_subject.setdefault(subject_id, {}).setdefault(overlap, results_f1)
-        final_results = defaultdict(list)
-        for subject_id, results_per_label in sorted(results_per_subject.items()):
-            for label_id, results_per_metric in results_per_label.items():
-                for metric_name, result in results_per_metric.items():
-                    final_results[label_id + "_" + metric_name].append(result)
-        print("\n\nSummary Performance for Cross-validation.")
-        for result_id, result_values in final_results.items():
-            print(f"{result_id}\n\tValues: {[round(r, 4) for r in result_values]}")
-            print(f"\tMean: {np.mean(result_values):.4f}\tStd: {np.std(result_values):.4f}")
-        final_f1_results = {}
-        for subject_id, f1_per_overlap in sorted(f1_results_per_subject.items()):
-            for overlap, f1_per_label in sorted(f1_per_overlap.items()):
-                for label_id, f1_value in f1_per_label.items():
-                    final_f1_results.setdefault(label_id, {}).setdefault(overlap, []).append(f1_value)
-        print("\nSummary F1@k results.")
-        for label_id, f1s_per_overlap in final_f1_results.items():
-            print(f"{label_id}")
-            for overlap, f1s in f1s_per_overlap.items():
-                print(f"\tOverlap: {overlap}")
-                print(f"\tValues: {[round(f1, 4) for f1 in f1s]}")
-                print(f"\tMean: {np.mean(f1s):.4f}\tStd: {np.std(f1s):.4f}\n")
-        if args.save_visualisations_dir is not None and os.path.isdir(args.save_visualisations_dir):
-            for subject_id, (output, target, test_ids) in outputs_per_subject.items():
-                test_ids_s = [f"{subject_id}_{test_id}" for test_id in test_ids]
-                subject_dir = os.path.join(args.save_visualisations_dir, subject_id)
-                os.makedirs(subject_dir, exist_ok=True)
-                cleanup_directory(subject_dir)
-                dump_visualisations(subject_dir, output, target, test_ids_s,
-                                    subactivity_id_to_name, affordance_id_to_name)
-                for overlap in overlaps:
-                    dump_f1_scores_per_example(subject_dir, output, target, test_ids_s,
-                                               subactivity_id_to_name, affordance_id_to_name,
-                                               overlap)
-            _dump_label_jsons(args.save_visualisations_dir, outputs_per_subject)
-    else:
+    run = RunDir(args.pretrained_model_dir)
+    subactivity_id_to_name, affordance_id_to_name = run.class_dictionaries()
+    subactivity_names = class_names_in_id_order(subactivity_id_to_name)
+    affordance_names = class_names_in_id_order(affordance_id_to_name)
+
+    if not args.cross_validate:
         outputs, targets, test_ids = predict(
-            pretrained_model_dir, args.convert_frame_to_segment_level, args.inspect_model)
-        evaluate_predictions(targets, outputs, subactivity_names=subactivity_names,
-                             affordance_names=affordance_names)
-        num_subactivities = len(subactivity_names) if subactivity_names else None
-        num_affordances = len(affordance_names) if affordance_names else None
-        for overlap in overlaps:
-            evaluate_f1_at_k(targets, outputs, num_subactivities, num_affordances,
-                             overlap=overlap)
-        if args.save_visualisations_dir is not None and os.path.isdir(args.save_visualisations_dir):
-            subject_id = pretrained_model_dir.split(sep="_")[-1]
-            subject_dir = os.path.join(args.save_visualisations_dir, subject_id)
-            os.makedirs(subject_dir, exist_ok=True)
-            cleanup_directory(subject_dir)
-            dump_visualisations(subject_dir, outputs, targets, test_ids,
-                                subactivity_id_to_name, affordance_id_to_name)
-            for overlap in overlaps:
-                dump_f1_scores_per_example(subject_dir, outputs, targets, test_ids,
-                                           subactivity_id_to_name, affordance_id_to_name,
-                                           overlap)
+            args.pretrained_model_dir, args.convert_frame_to_segment_level,
+            args.inspect_model)
+        _evaluate_fold(outputs, targets, subactivity_names, affordance_names)
+        if args.save_visualisations_dir is not None and \
+                os.path.isdir(args.save_visualisations_dir):
+            subject_id = args.pretrained_model_dir.split(sep="_")[-1]
+            _dump_fold_artifacts(
+                os.path.join(args.save_visualisations_dir, subject_id),
+                outputs, targets, test_ids,
+                subactivity_id_to_name, affordance_id_to_name)
+        return
 
-
-def _dump_label_jsons(save_dir, outputs_per_subject):
-    """gt/our x sa/af JSON dumps for downstream comparison (reference :395-419)."""
-    id_to = {"gt_sa": {}, "our_sa": {}, "gt_af": {}, "our_af": {}}
-    for output, target, test_ids in outputs_per_subject.values():
-        id_to["gt_sa"].update(to_dict(target["sub-activity_recognition"], test_ids))
-        id_to["our_sa"].update(to_dict(output["sub-activity_recognition"], test_ids))
-        if "affordance_recognition" in target:
-            id_to["gt_af"].update(to_dict(target["affordance_recognition"], test_ids))
-            id_to["our_af"].update(to_dict(output["affordance_recognition"], test_ids))
-    id_to["gt_sa"], id_to["our_sa"] = cleanup_padding_values(id_to["gt_sa"], id_to["our_sa"])
-    id_to["gt_af"], id_to["our_af"] = cleanup_padding_values(id_to["gt_af"], id_to["our_af"])
-    out_dir = os.path.join(save_dir, "outputs")
-    os.makedirs(out_dir, exist_ok=True)
-    cleanup_directory(out_dir)
-    for name, d in id_to.items():
-        if not d:
+    # Cross-validation: evaluate every sibling _<subject> run dir that exists.
+    outputs_per_subject = {}
+    for subject_id, fold_dir in run.sibling_fold_paths():
+        try:
+            outputs_per_subject[subject_id] = predict(
+                fold_dir, args.convert_frame_to_segment_level, args.inspect_model)
+        except FileNotFoundError:
             continue
-        with open(os.path.join(out_dir, f"{name}.json"), mode="w") as f:
-            json.dump(d, f)
 
+    results_per_subject, f1_results_per_subject = {}, {}
+    for subject_id, (outputs, targets, _) in sorted(outputs_per_subject.items()):
+        print(f"\n{subject_id}")
+        results_per_subject[subject_id], f1_results_per_subject[subject_id] = \
+            _evaluate_fold(outputs, targets, subactivity_names, affordance_names)
+    print_cross_validation_summary(results_per_subject, f1_results_per_subject)
 
-def dump_visualisations(save_dir, outputs, targets, test_ids,
-                        subactivity_id_to_name, affordance_id_to_name):
-    from tggcn.visualisation import plot_segmentation
-
-    for problem_type in list(outputs.keys()):
-        class_id_to_label = (subactivity_id_to_name if "sub-activity" in problem_type
-                             else affordance_id_to_name)
-        output, target = outputs[problem_type], targets[problem_type]
-        for out, tar, test_id in zip(output, target, test_ids):
-            for ent_id in range(out.shape[1]):
-                save_file = os.path.join(save_dir, f"{test_id}_{problem_type}_{ent_id}.png")
-                tar_ent, out_ent = tar[:, ent_id], out[:, ent_id]
-                out_ent = out_ent[tar_ent != -1]
-                tar_ent = tar_ent[tar_ent != -1]
-                if tar_ent.size:
-                    plot_segmentation(list(tar_ent), list(out_ent),
-                                      class_id_to_label=class_id_to_label,
-                                      save_file=save_file, xlabels_type="id")
-
-
-def dump_f1_scores_per_example(save_dir, outputs, targets, test_ids,
-                               subactivity_id_to_name, affordance_id_to_name, overlap):
-    save_file = os.path.join(save_dir, f"f1_scores_{overlap:.2f}.txt")
-    with open(save_file, mode="w") as f:
-        for problem_type in list(outputs.keys()):
-            class_id_to_label = (subactivity_id_to_name if "sub-activity" in problem_type
-                                 else affordance_id_to_name)
-            output, target = outputs[problem_type], targets[problem_type]
-            for out, tar, test_id in zip(output, target, test_ids):
-                for ent_id in range(out.shape[1]):
-                    tar_ent, out_ent = tar[:, ent_id], out[:, ent_id]
-                    out_ent = out_ent[tar_ent != -1]
-                    tar_ent = tar_ent[tar_ent != -1]
-                    if tar_ent.size:
-                        f1 = f1_at_k_single_example(tar_ent, out_ent,
-                                                    len(class_id_to_label), overlap=overlap)
-                        f.write(f"{problem_type}_{test_id}_{ent_id}: {f1:.4f}\n")
-            f.write("\n")
-
-
-def to_dict(output, video_ids):
-    """(num_videos, T, E) -> {video_id: {entity_id: frame labels}} (reference :475-491)."""
-    video_id_to_labeling = {}
-    for video_id, per_entity in zip(video_ids, output):
-        per_entity = np.transpose(per_entity)
-        for ent_id, labeling in enumerate(per_entity, 1):
-            video_id_to_labeling.setdefault(video_id, {})[ent_id] = labeling.tolist()
-    return video_id_to_labeling
-
-
-def cleanup_padding_values(id_to_gt, id_to_pd):
-    for video_id in set(id_to_gt.keys()):
-        gt, pd = id_to_gt[video_id], id_to_pd[video_id]
-        for ent_id in set(gt.keys()):
-            gt_e, pd_e = np.array(gt[ent_id]), np.array(pd[ent_id])
-            pd_e = pd_e[gt_e != -1.0]
-            gt_e = gt_e[gt_e != -1.0]
-            if gt_e.size:
-                id_to_gt[video_id][ent_id] = gt_e.tolist()
-                id_to_pd[video_id][ent_id] = pd_e.tolist()
-            else:
-                del id_to_gt[video_id][ent_id]
-                del id_to_pd[video_id][ent_id]
-    return id_to_gt, id_to_pd
+    if args.save_visualisations_dir is not None and \
+            os.path.isdir(args.save_visualisations_dir):
+        for subject_id, (outputs, targets, test_ids) in outputs_per_subject.items():
+            _dump_fold_artifacts(
+                os.path.join(args.save_visualisations_dir, subject_id),
+                outputs, targets, [f"{subject_id}_{t}" for t in test_ids],
+                subactivity_id_to_name, affordance_id_to_name)
+        dump_label_jsons(args.save_visualisations_dir, outputs_per_subject)
 
 
 def create_arg_parser():
@@ -508,7 +131,8 @@ def create_arg_parser():
                         help="If specified, save ground-truth/predicted segmentations there "
                              "(directory must exist).")
     parser.add_argument("--inspect_model", action="store_true",
-                        help="Fetch attention scores from the model.")
+                        help="Fetch attention scores from the model and save them "
+                             "to <run_dir>/attention_scores.npz.")
     parser.set_defaults(func=predict_all)
     return parser
 
