@@ -94,3 +94,66 @@ class TestCrossValidationBuilder:
         write_video_id_to_subject_map(mapping, str(out))
         from tggcn.utils.io import read_dictionary
         assert read_dictionary(str(out)) == mapping
+
+
+class TestRoiFeaturesCLI:
+    """Smoke test of the extraction CLI with a stub backbone (no detectron2/
+    torchvision weights in this environment; reference vhoi/roi_features.py)."""
+
+    class _StubBackbone:
+        def extract(self, image, boxes):
+            # Deterministic: mean pixel + box area per ROI, tiled to 2048.
+            feats = []
+            for box in np.atleast_2d(boxes):
+                area = float((box[2] - box[0]) * (box[3] - box[1]))
+                feats.append(np.full(2048, image.mean() + area, np.float32))
+            return np.stack(feats)
+
+    def _make_inputs(self, tmp_path, num_frames=3, num_boxes=2):
+        import cv2
+
+        frames_dir = tmp_path / "frames"
+        frames_dir.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(num_frames):
+            cv2.imwrite(str(frames_dir / f"{i:04d}.png"),
+                        rng.integers(0, 255, size=(32, 48, 3)).astype(np.uint8))
+        boxes = rng.uniform(0, 16, size=(num_frames, num_boxes, 2))
+        boxes = np.concatenate([boxes, boxes + 8], axis=-1).astype(np.float32)
+        boxes_file = tmp_path / "boxes.npy"
+        np.save(boxes_file, boxes)
+        manifest = tmp_path / "manifest.json"
+        manifest.write_text(json.dumps({
+            "vid0": {"frames": str(frames_dir),
+                     "streams": {"left_hand": str(boxes_file)}}}))
+        return manifest
+
+    def test_manifest_extraction_writes_zarr(self, tmp_path, monkeypatch):
+        import argparse
+
+        from tggcn.data import roi_features, zarr_lite
+
+        manifest = self._make_inputs(tmp_path)
+        monkeypatch.setattr(roi_features, "_load_backbone",
+                            lambda device: self._StubBackbone())
+        out = tmp_path / "features.zarr"
+        args = argparse.Namespace(manifest=str(manifest), output=str(out),
+                                  device="cpu")
+        roi_features.extract_from_manifest(args)
+        store = zarr_lite.open_readonly(str(out))
+        feats = store["vid0"]["left_hand"][:]
+        assert feats.shape == (3, 2, 2048)
+        assert np.isfinite(feats).all() and feats.std() > 0
+
+    def test_torchvision_fallback_warns(self, monkeypatch):
+        from tggcn.data import roi_features
+
+        class _FakeTV:
+            def __init__(self, device):
+                pass
+
+        monkeypatch.setattr(roi_features, "_Detectron2Backbone",
+                            lambda device: (_ for _ in ()).throw(ImportError()))
+        monkeypatch.setattr(roi_features, "_TorchvisionBackbone", _FakeTV)
+        with pytest.warns(RuntimeWarning, match="NOT numerically compatible"):
+            roi_features._load_backbone("cpu")

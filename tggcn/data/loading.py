@@ -61,14 +61,19 @@ class _NpzArray:
 
 
 def open_store(path: str):
-    """Open a feature store: zarr directory/zip or an .npz bundle."""
+    """Open a feature store: zarr DirectoryStore or an .npz bundle.
+
+    zarr directories are read by the vendored zarr-v2 reader
+    (tggcn/data/zarr_lite.py — raw/zlib chunks in Python, blosc-lz4 via the
+    native decoder), or by the zarr package itself when it is installed.
+    """
     if path.endswith(".npz"):
         return _NpzStore(path)
-    if not _HAS_ZARR:
-        raise ImportError(
-            f"Reading {path} requires the 'zarr' package, which is not installed. "
-            "Convert the store to an .npz bundle (keys 'video_id/stream') or install zarr.")
-    return zarr.open(path, mode="r")
+    if _HAS_ZARR:
+        return zarr.open(path, mode="r")
+    from tggcn.data import zarr_lite
+
+    return zarr_lite.open_readonly(path)
 
 
 def split_train_test(training_data: list, test_fraction: float = 0.2, seed: int = 42):

@@ -33,11 +33,22 @@ def _load_backbone(device: str = "cpu"):
     except ImportError:
         pass
     try:
-        return _TorchvisionBackbone(device)
+        backbone = _TorchvisionBackbone(device)
     except ImportError as e:
         raise ImportError(
             "ROI feature extraction requires detectron2 or torchvision. "
             "Install one of them, or use the pre-extracted feature stores.") from e
+    import warnings
+
+    warnings.warn(
+        "detectron2 is not installed; using the torchvision ResNet-101 "
+        "fallback with ImageNet weights. These features are NOT numerically "
+        "compatible with the Visual-Genome features the distributed "
+        "datasets were extracted with (reference vhoi/roi_features.py uses "
+        "R101-C4 VG caffe weights) — models trained on the distributed "
+        "stores will not transfer to features extracted this way.",
+        RuntimeWarning, stacklevel=2)
+    return backbone
 
 
 class _TorchvisionBackbone:
@@ -118,22 +129,28 @@ def _frames(video_dir: str) -> Iterator[Tuple[int, np.ndarray]]:
 
 
 def _open_output(path: str):
-    """Writable store: a zarr group when available, else an .npz accumulator."""
-    if not path.endswith(".npz"):
-        try:
-            import zarr
+    """Writable store: a zarr-v2 DirectoryStore, or an .npz accumulator."""
+    if path.endswith(".npz"):
+        return None, {"__path__": path}
+    try:
+        import zarr
 
-            return zarr.open(path, mode="a"), None
-        except ImportError:
-            path = path + ".npz"
-    return None, {"__path__": path}
+        return zarr.open(path, mode="a"), None
+    except ImportError:
+        from tggcn.data import zarr_lite
+
+        return zarr_lite.create_group(path), None
 
 
 def _store(zarr_root, npz_acc, key: str, array: np.ndarray):
-    if zarr_root is not None:
-        zarr_root[key] = array
-    else:
+    if npz_acc is not None:
         npz_acc[key] = array
+    elif isinstance(zarr_root, str):  # zarr_lite group path
+        from tggcn.data import zarr_lite
+
+        zarr_lite.write_array(zarr_root, key, array)
+    else:
+        zarr_root[key] = array
 
 
 def _flush(npz_acc):

@@ -15,6 +15,27 @@ import numpy as np
 from tggcn.data.cad120classes import CAD120Video
 
 
+def _write_store(npz_path: str, arrays: dict, store_format: str) -> str:
+    """Write a {'vid/stream': array} feature store as .npz or zarr-v2.
+
+    store_format='zarr' produces a real DirectoryStore (one group per video,
+    reference layout per vhoi/data_loading.py:27-31) via tggcn.data.zarr_lite,
+    exercising the same on-disk format as the distributed datasets.
+    """
+    if store_format == "npz":
+        np.savez(npz_path, **arrays)
+        return npz_path
+    if store_format != "zarr":
+        raise ValueError(f"unknown store_format {store_format!r}")
+    from tggcn.data import zarr_lite
+
+    path = npz_path[:-len(".npz")] + ".zarr"
+    root = zarr_lite.create_group(path)
+    for key, value in arrays.items():
+        zarr_lite.write_array(root, key, value)
+    return path
+
+
 def _segments(rng, num_frames, num_classes, min_seg=5):
     """Random label segmentation covering [0, num_frames)."""
     labels = []
@@ -26,7 +47,8 @@ def _segments(rng, num_frames, num_classes, min_seg=5):
 
 
 def generate_mphoi_dataset(root_dir: str, num_videos: int = 8, min_len: int = 36,
-                           max_len: int = 90, num_objects: int = 4, seed: int = 0) -> dict:
+                           max_len: int = 90, num_objects: int = 4, seed: int = 0,
+                           store_format: str = "npz") -> dict:
     """Synthetic MPHOI-72-shaped dataset. Returns config-style path dict."""
     rng = np.random.default_rng(seed)
     os.makedirs(root_dir, exist_ok=True)
@@ -59,17 +81,17 @@ def generate_mphoi_dataset(root_dir: str, num_videos: int = 8, min_len: int = 36
     os.makedirs(os.path.dirname(paths["path"]), exist_ok=True)
     with open(paths["path"], "w") as f:
         json.dump(gt, f)
-    np.savez(paths["path_zarr"], **feats)
-    np.savez(paths["path_obb_zarr"], **obbs)
-    np.savez(paths["path_hbb_zarr"], **hbbs)
-    np.savez(paths["path_hps_zarr"], **hps)
+    for key, arrays in (("path_zarr", feats), ("path_obb_zarr", obbs),
+                        ("path_hbb_zarr", hbbs), ("path_hps_zarr", hps)):
+        paths[key] = _write_store(paths[key], arrays, store_format)
     with open(os.path.join(root_dir, "MPHOI", "mphoi_action_id_to_action_name.json"), "w") as f:
         json.dump({str(i): f"action_{i}" for i in range(13)}, f)
     return paths
 
 
 def generate_bimanual_dataset(root_dir: str, num_videos: int = 8, min_len: int = 36,
-                              max_len: int = 90, num_objects: int = 5, seed: int = 0) -> dict:
+                              max_len: int = 90, num_objects: int = 5, seed: int = 0,
+                              store_format: str = "npz") -> dict:
     """Synthetic Bimanual-Actions-shaped dataset (with a 15-FPS video mixed in)."""
     rng = np.random.default_rng(seed)
     base = os.path.join(root_dir, "BimanualActions")
@@ -103,16 +125,17 @@ def generate_bimanual_dataset(root_dir: str, num_videos: int = 8, min_len: int =
         json.dump(gt, f)
     with open(paths["video_id_to_video_fps"], "w") as f:
         json.dump(fps_map, f)
-    np.savez(paths["path_zarr"], **feats)
-    np.savez(paths["path_bb_zarr"], **bbs)
-    np.savez(paths["path_hp_zarr"], **hps)
+    for key, arrays in (("path_zarr", feats), ("path_bb_zarr", bbs),
+                        ("path_hp_zarr", hps)):
+        paths[key] = _write_store(paths[key], arrays, store_format)
     with open(os.path.join(base, "bimacs_action_id_to_action_name.json"), "w") as f:
         json.dump({str(i): f"action_{i}" for i in range(14)}, f)
     return paths
 
 
 def generate_cad120_dataset(root_dir: str, num_videos: int = 8, min_len: int = 36,
-                            max_len: int = 90, num_objects: int = 3, seed: int = 0) -> dict:
+                            max_len: int = 90, num_objects: int = 3, seed: int = 0,
+                            store_format: str = "npz") -> dict:
     """Synthetic CAD-120-shaped dataset (pickle annotations + feature store)."""
     rng = np.random.default_rng(seed)
     base = os.path.join(root_dir, "CAD-120")
@@ -156,7 +179,7 @@ def generate_cad120_dataset(root_dir: str, num_videos: int = 8, min_len: int = 3
     }
     with open(paths["path"], "wb") as f:
         pickle.dump(data, f)
-    np.savez(paths["path_zarr"], **stores)
+    paths["path_zarr"] = _write_store(paths["path_zarr"], stores, store_format)
     with open(paths["video_id_to_subject_id"], "w") as f:
         for vid, subject in vid_to_subject.items():
             f.write(f"{vid} {subject}\n")
