@@ -19,7 +19,7 @@ from tggcn.models.tggcn import TGGCNConfig, apply_tggcn
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 FIXTURES = sorted(p for p in glob.glob(os.path.join(GOLDEN_DIR, "*.npz"))
-                  if not os.path.basename(p).startswith("baseline_"))
+                  if not os.path.basename(p).startswith(("baseline_", "training_")))
 
 
 def load_fixture(path):

@@ -155,6 +155,169 @@ SCENARIOS = {
 
 
 
+TRAIN_SCENARIOS = {
+    # Training-trajectory parity: run the REFERENCE train step (Adam + clip +
+    # full loss bundle, pyrutils/torch/train_utils.py:143-154) for several
+    # steps and record per-step per-loss values + final weights.
+    "train_mphoi_st": dict(
+        dataset="mphoi",
+        model_kwargs=dict(hidden_size=24, gcn_node=26, message_humans_to_human=True,
+                          message_segment=True, message_type="v2",
+                          message_granularity="v1", message_aggregation="att",
+                          attention_style="v3", discrete_optimization_strategy="st",
+                          object_segment_update_strategy="ind",
+                          update_segment_threshold=0.5, num_classes=(13, None)),
+        shape=dict(b=2, t=6, num_humans=2, num_objects=3, human_width=2152,
+                   with_dists=False),
+        misc={"budget_loss": {"add": True, "human_weight": 0.5},
+              "segmentation_loss": {"add": True, "weight": 0.8},
+              "first_level_loss_weight": 0.3,
+              "anticipation_loss_weight": 0.7},
+        lr=1e-3, clip=5.0, steps=5),
+    "train_cad120_st": dict(
+        dataset="cad120",
+        model_kwargs=dict(hidden_size=16, gcn_node=19, message_humans_to_human=False,
+                          message_segment=True, message_type="v2",
+                          message_granularity="v1", message_aggregation="att",
+                          attention_style="v3", discrete_optimization_strategy="st",
+                          object_segment_update_strategy="ind",
+                          update_segment_threshold=0.5, num_classes=(10, 12)),
+        shape=dict(b=2, t=6, num_humans=1, num_objects=2, human_width=2124,
+                   with_dists=False),
+        misc={"budget_loss": {"add": True, "human_weight": 0.4,
+                              "object_weight": 0.6},
+              "segmentation_loss": {"add": True, "weight": 1.0},
+              "first_level_loss_weight": 0.2,
+              "anticipation_loss_weight": 1.0},
+        lr=1e-3, clip=0.0, steps=5),
+}
+
+
+def make_training_fixtures(reference_path="/root/reference"):
+    """Golden training trajectories from the reference optimizer loop."""
+    import torch
+
+    sys.path.insert(0, reference_path)
+    if "zarr" not in sys.modules:
+        # vhoi.data_loading imports zarr at module level; gcn_forward (the
+        # only symbol used here) never touches it.
+        import types
+
+        try:
+            import zarr  # noqa: F401
+        except ImportError:
+            sys.modules["zarr"] = types.ModuleType("zarr")
+    from vhoi.data_loading import gcn_forward
+    from vhoi.losses import select_loss as ref_select_loss
+
+    from tggcn.config import Config
+    import pyrutils.torch.distributions as ref_distributions
+    import vhoi.models as ref_models
+    from vhoi.models import TGGCN
+
+    class _STE(torch.autograd.Function):
+        """The reference STE with a modern-torch-compatible backward.
+
+        pyrutils/torch/distributions.py:39-53 returns one gradient for two
+        forward inputs, which torch 1.5 tolerated but current torch rejects.
+        Identical semantics: hard threshold forward, identity gradient to the
+        input, no gradient to the threshold.
+        """
+
+        @staticmethod
+        def forward(ctx, input, threshold: float = 0.5):
+            return (input > threshold).float()
+
+        @staticmethod
+        def backward(ctx, output_gradient):
+            return output_gradient, None
+
+    ref_distributions.straight_through_estimator = _STE.apply
+    ref_models.straight_through_estimator = _STE.apply
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    for name, spec in TRAIN_SCENARIOS.items():
+        torch.manual_seed(4321)
+        rng = np.random.default_rng(7)
+        shape, dataset = spec["shape"], spec["dataset"]
+        inputs = make_inputs(rng, **shape)
+        model = TGGCN(input_size=(shape["human_width"], 2048),
+                      **spec["model_kwargs"])
+        model.train()
+
+        # Batch tuple in loader order (SURVEY §2.4); seg/distance slots are
+        # placeholders (not consumed: impose=0, no GT seg, no dist attention).
+        b, t = shape["b"], shape["t"]
+        hseg = np.ones((b, t, shape["num_humans"]), dtype=np.float32)
+        placeholder = np.zeros((b, 1, 1, 1), dtype=np.float32)
+        if dataset == "cad120":
+            oseg = np.ones((b, t, shape["num_objects"]), dtype=np.float32)
+            np_data = [inputs["x_human"], inputs["x_objects"],
+                       inputs["objects_mask"], hseg, oseg, placeholder,
+                       placeholder, inputs["steps_per_example"]]
+        else:
+            np_data = [inputs["x_human"], inputs["x_objects"],
+                       inputs["objects_mask"], hseg, placeholder, placeholder,
+                       placeholder, inputs["steps_per_example"]]
+        torch_data = [torch.from_numpy(a) for a in np_data]
+
+        # Probe output shapes to build matching targets (-1 beyond each
+        # example's steps_per_example, as the loaders pad).
+        with torch.no_grad():
+            probe = gcn_forward(model, torch_data, dataset_name=dataset)
+        num_float_heads = 4 if dataset == "cad120" else 2
+        np_targets = []
+        for i, out in enumerate(probe):
+            if i < num_float_heads:
+                assert out.dim() == 3, (i, out.shape)
+                tgt = (rng.uniform(size=tuple(out.shape)) > 0.5).astype(np.float32)
+            else:
+                assert out.dim() == 4, (i, out.shape)
+                num_classes = out.shape[1]
+                tgt_shape = (out.shape[0],) + tuple(out.shape[2:])
+                tgt = rng.integers(0, num_classes, size=tgt_shape).astype(np.int64)
+            for bi, steps in enumerate(inputs["steps_per_example"]):
+                tgt[bi, int(steps):] = -1
+            np_targets.append(tgt)
+        torch_targets = [torch.from_numpy(a) for a in np_targets]
+
+        criterion, loss_names = ref_select_loss(
+            "2G-GCN", "multiple", dataset, Config({"misc": spec["misc"]}))
+        optimizer = torch.optim.Adam(model.parameters(), lr=spec["lr"])
+        weights0 = {k: v.detach().clone().numpy()
+                    for k, v in model.state_dict().items()}
+        loss_trajectory = []
+        for _step in range(spec["steps"]):
+            optimizer.zero_grad()
+            outputs = gcn_forward(model, torch_data, dataset_name=dataset)
+            losses = criterion(outputs, torch_targets, reduction="mean")
+            sum(losses).backward()
+            if spec["clip"]:
+                torch.nn.utils.clip_grad_norm_(model.parameters(),
+                                               max_norm=spec["clip"])
+            optimizer.step()
+            loss_trajectory.append([float(l) for l in losses])
+
+        payload = {f"input::{k}": v for k, v in inputs.items()}
+        for i, tgt in enumerate(np_targets):
+            payload[f"target::{i}"] = tgt
+        payload["losses"] = np.asarray(loss_trajectory, dtype=np.float64)
+        for k, v in weights0.items():
+            payload[f"weight0::{k}"] = v
+        for k, v in model.state_dict().items():
+            payload[f"weightN::{k}"] = v.detach().numpy()
+        payload["meta::spec"] = np.frombuffer(json.dumps({
+            "dataset": dataset, "lr": spec["lr"], "clip": spec["clip"],
+            "steps": spec["steps"], "misc": spec["misc"],
+            "loss_names": loss_names,
+            "model_kwargs": {**spec["model_kwargs"],
+                             "input_size": (shape["human_width"], 2048)},
+        }, default=str).encode(), dtype=np.uint8)
+        np.savez_compressed(os.path.join(OUT_DIR, f"training_{name}.npz"), **payload)
+        print(f"wrote training_{name}: {spec['steps']} steps, "
+              f"losses {loss_names}")
+
+
 def make_baseline_fixtures(reference_path="/root/reference"):
     """Golden fixtures for CAD120Baseline / BimanualBaseline."""
     import torch
@@ -238,6 +401,7 @@ def main():
         print(f"wrote {name}: {len(outputs)} outputs, "
               f"{len(model.state_dict())} weights")
     make_baseline_fixtures(args.reference)
+    make_training_fixtures(args.reference)
 
 
 if __name__ == "__main__":
