@@ -214,3 +214,25 @@ class TestScaling:
         # Test loader reuses the scalers.
         loader, *_ = load_testing_data(cfg, "2G-GCN", "multiple", batch_size=8, scalers=scalers)
         assert loader.num_examples > 0
+
+    def test_scaling_composes_with_bucketing(self, tmp_path):
+        """Buckets share one scaler fit on the full pre-bucket train set."""
+        paths = generate_cad120_dataset(str(tmp_path), num_videos=6, seed=6,
+                                        min_len=20, max_len=44)
+        base = {"name": "cad120", "path": paths["path"],
+                "path_zarr": paths["path_zarr"],
+                "cross_validation_test_subject": "Subject1",
+                "video_id_to_subject_id": paths["video_id_to_subject_id"],
+                "scaling_strategy": "standard", "downsampling": 3}
+        flat_loader, _, _, flat_scalers = load_training_data(
+            Config(dict(base)), "2G-GCN", "multiple", batch_size=4,
+            val_fraction=0.25)
+        bucketed_loader, _, _, bucket_scalers = load_training_data(
+            Config({**base, "length_buckets": 2}), "2G-GCN", "multiple",
+            batch_size=4, val_fraction=0.25)
+        np.testing.assert_allclose(bucket_scalers["human_scaler"].mean_,
+                                   flat_scalers["human_scaler"].mean_)
+        np.testing.assert_allclose(bucket_scalers["object_scaler"].scale_,
+                                   flat_scalers["object_scaler"].scale_)
+        for batch in bucketed_loader:
+            assert np.isfinite(batch[0]).all()

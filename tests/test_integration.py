@@ -3,6 +3,7 @@
 import os
 import sys
 
+import jax
 import numpy as np
 import pytest
 
@@ -156,3 +157,53 @@ def test_predict_cross_validate_aggregation(tmp_path, capsys):
     assert "Summary Performance for Cross-validation." in out
     assert "Summary F1@k results." in out
     assert "sub-activity_recognition" in out
+
+
+@pytest.mark.slow
+def test_train_bucketed_e2e(tmp_path):
+    """train.py with length-bucketed batches (one program shape per bucket)."""
+    import train as train_cli
+
+    paths = generate_mphoi_dataset(str(tmp_path / "data"), num_videos=8,
+                                   min_len=20, max_len=44, seed=21)
+    overrides = _mphoi_overrides(paths, tmp_path)
+    overrides += ["data.length_buckets=2", "optimization.epochs=1",
+                  "parameters.hidden_size=8"]
+    checkpoint = train_cli.main(overrides)
+    assert "model_state_dict" in checkpoint
+    total, per_loss = checkpoint["train_losses"][-1]
+    assert np.isfinite(total) and np.isfinite(per_loss).all()
+
+
+@pytest.mark.slow
+def test_kill_and_resume_reproduces_run(tmp_path):
+    """misc.resume=true after an interruption reproduces the full run."""
+    import train as train_cli
+
+    paths = generate_mphoi_dataset(str(tmp_path / "data"), num_videos=8,
+                                   min_len=20, max_len=32, seed=22)
+
+    def overrides(run_name, epochs):
+        out = _mphoi_overrides(paths, tmp_path)
+        out += [f"optimization.epochs={epochs}", "parameters.hidden_size=8",
+                f"logging.root_log_dir={tmp_path}/{run_name}/outputs/mphoi/2G-GCN"]
+        return out
+
+    full = train_cli.main(overrides("full", 3))
+
+    # "Kill" after epoch 2 (equivalent: a 2-epoch run leaves last.ckpt at
+    # epoch 2), then resume to the 3-epoch total in the same run dir.
+    train_cli.main(overrides("resumed", 2))
+    resumed = train_cli.main(overrides("resumed", 3) + ["misc.resume=true"])
+
+    assert len(resumed["train_losses"]) == len(full["train_losses"]) == 3
+    np.testing.assert_allclose(resumed["train_losses"][-1][1],
+                               full["train_losses"][-1][1], rtol=1e-5)
+    np.testing.assert_allclose(resumed["val_losses"][-1][1],
+                               full["val_losses"][-1][1], rtol=1e-5)
+    assert resumed["epoch"] == full["epoch"]
+    flat_full = jax.tree_util.tree_leaves(full["model_state_dict"])
+    flat_resumed = jax.tree_util.tree_leaves(resumed["model_state_dict"])
+    for a, b in zip(flat_full, flat_resumed):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)

@@ -100,8 +100,17 @@ class ArrayDataLoader:
         self.tensors = tensors
         self.batch_size = max(int(batch_size), 1)
         self.shuffle = shuffle
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
         self.num_examples = len(tensors[0]) if tensors else 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle order of the next iteration to (seed, epoch).
+
+        Makes epoch order a pure function of the epoch number, so a resumed
+        run sees exactly the batches the uninterrupted run would have seen.
+        """
+        self._epoch = int(epoch)
 
     class _Dataset:
         def __init__(self, tensors):
@@ -123,7 +132,8 @@ class ArrayDataLoader:
     def __iter__(self):
         order = np.arange(self.num_examples)
         if self.shuffle:
-            self._rng.shuffle(order)
+            np.random.default_rng((self.seed, self._epoch)).shuffle(order)
+            self._epoch += 1
         for start in range(0, self.num_examples, self.batch_size):
             idx = order[start:start + self.batch_size]
             yield [t[idx] for t in self.tensors]
@@ -195,17 +205,24 @@ def create_data_loader(data, model_name: str, model_input_type: str, dataset_nam
     if length_buckets and length_buckets > 1:
         # Length-bucketed batching: each bucket pads to its own max length
         # (bounds both padding waste and recompilation; tggcn/data/pipeline.py).
-        if scaling_strategy is not None or scalers:
-            raise ValueError("length_buckets does not support feature scaling yet.")
         from tggcn.data.pipeline import make_bucketed_loader
 
+        bucket_scalers = dict(scalers) if scalers else {}
+        if scaling_strategy is not None and not bucket_scalers:
+            # Fit the scalers once on the full (pre-bucket, globally padded)
+            # set — identical statistics to the unbucketed path — then apply
+            # them per bucket below.
+            _, bucket_scalers = _assemble_flat(data, model_name, dataset_name,
+                                               sigma, downsampling, test_data,
+                                               scaling_strategy, None)
         loader = make_bucketed_loader(
             data,
-            lambda bucket: _assemble_flat(bucket, model_name, dataset_name, sigma,
-                                          downsampling, test_data)[0],
+            lambda bucket: _assemble_flat(
+                bucket, model_name, dataset_name, sigma, downsampling, test_data,
+                scaling_strategy if bucket_scalers else None, bucket_scalers)[0],
             length_buckets, batch_size=batch_size, shuffle=shuffle,
             length_fn=lambda item: len(item[0]))
-        return loader, {}, segmentations
+        return loader, bucket_scalers, segmentations
     tensors, scalers = _assemble_flat(data, model_name, dataset_name, sigma, downsampling,
                                       test_data, scaling_strategy, scalers)
     loader = ArrayDataLoader(tensors, batch_size=batch_size, shuffle=shuffle)

@@ -47,12 +47,19 @@ class BucketedDataLoader:
                         for i, tensors in enumerate(bucket_tensor_lists)]
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
         self.num_examples = sum(loader.num_examples for loader in self.loaders)
 
     @property
     def dataset(self):
         return self.loaders[0].dataset
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin shuffle + interleave order to (seed, epoch) for resume parity."""
+        self._epoch = int(epoch)
+        for loader in self.loaders:
+            loader.set_epoch(epoch)
 
     def __len__(self):
         return sum(len(loader) for loader in self.loaders)
@@ -62,7 +69,8 @@ class BucketedDataLoader:
         for i, loader in enumerate(self.loaders):
             iterators.extend([(i, batch) for batch in loader])
         if self.shuffle:
-            self._rng.shuffle(iterators)
+            np.random.default_rng((self.seed, self._epoch, 17)).shuffle(iterators)
+            self._epoch += 1
         for _i, batch in iterators:
             yield batch
 

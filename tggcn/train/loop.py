@@ -227,7 +227,9 @@ def train(model, train_loader, optimizer, criterion, epochs, loss_names,
           seed: int = 42, mesh=None, num_inputs: int = 8,
           checkpoint_name: Optional[str] = None, tensorboard_log_dir: Optional[str] = None,
           log_dir: Optional[str] = None, init_params=None, init_opt_state=None,
-          log_interval: int = 25, **kwargs):
+          log_interval: int = 25, initial_global_step: int = 0,
+          initial_best_val_loss: float = float("inf"),
+          initial_checkpoint: Optional[dict] = None, **kwargs):
     """Full training run; returns the checkpoint dict (reference train())."""
     writer = ScalarWriter(tensorboard_log_dir, checkpoint_name)
     trainable = {"model": init_params}
@@ -244,16 +246,25 @@ def train(model, train_loader, optimizer, criterion, epochs, loss_names,
 
     batch_size = train_loader.batch_size
     root_rng = jax.random.PRNGKey(seed)
-    checkpoint = {}
-    train_losses, val_losses, train_raw_losses, val_raw_losses = [], [], [], []
-    best_val_loss = float("inf")
-    global_step = 0
+    # Resume state: the best checkpoint so far, its val loss, and the global
+    # step (the per-batch RNG folds it in) carry over from last.ckpt so a
+    # resumed run replays the uninterrupted trajectory exactly.
+    checkpoint = dict(initial_checkpoint) if initial_checkpoint else {}
+    train_losses = list(checkpoint.pop("train_losses", []))
+    val_losses = list(checkpoint.pop("val_losses", []))
+    train_raw_losses = list(checkpoint.pop("train_raw_losses", []))
+    val_raw_losses = list(checkpoint.pop("val_raw_losses", []))
+    best_val_loss = initial_best_val_loss
+    global_step = initial_global_step
     num_examples = train_loader.num_examples
 
     for epoch in range(initial_epoch, epochs + initial_epoch):
         print(f"\nEpoch: [{epoch:4d}/{epochs + initial_epoch - 1:4d}]")
         epoch_start = time.time()
         num_batches = len(train_loader)
+        if hasattr(train_loader, "set_epoch"):
+            # Shuffle order becomes a pure function of the epoch number.
+            train_loader.set_epoch(epoch)
         batches = device_batch_iterator(train_loader, batch_size, num_inputs, mesh)
         for batch_idx, batch in enumerate(batches):
             data, targets = fetch_model_data(batch)
@@ -328,10 +339,17 @@ def train(model, train_loader, optimizer, criterion, epochs, loss_names,
 
         writer.add_scalar("perf/epoch_seconds", time.time() - epoch_start, epoch)
         if log_dir is not None:
-            # Fault-tolerance snapshot: resume-able mid-run state.
+            # Fault-tolerance snapshot: resume-able mid-run state, including
+            # the best checkpoint so far (so best-val selection survives).
             save_last(log_dir, {"epoch": epoch, "trainable": trainable,
                                 "opt_state": opt_state, "global_step": global_step,
-                                "best_val_loss": best_val_loss})
+                                "best_val_loss": best_val_loss,
+                                "best_checkpoint": {
+                                    **checkpoint,
+                                    "train_losses": train_losses,
+                                    "val_losses": val_losses,
+                                    "train_raw_losses": train_raw_losses,
+                                    "val_raw_losses": val_raw_losses}})
 
     print("Lowest val_loss is", best_val_loss)
     checkpoint["train_losses"] = train_losses

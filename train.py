@@ -107,8 +107,12 @@ def main(argv=None):
         # Frozen config: predict.py re-loads this copy (reference predict.py:22-23).
         save_config(cfg, os.path.join(log_dir, ".hydra", "config.yaml"))
 
-    # Resume from a fault-tolerance snapshot (last.ckpt) when requested.
-    initial_epoch, init_opt_state = 1, None
+    # Resume from a fault-tolerance snapshot (last.ckpt) when requested. The
+    # snapshot restores params, optimizer state, global step (per-batch RNG),
+    # best-val state and loss histories, so the resumed trajectory is the one
+    # the uninterrupted run would have produced.
+    initial_epoch, init_opt_state, initial_global_step = 1, None, 0
+    initial_best_val_loss, initial_checkpoint = float("inf"), None
     if misc_dict.get("resume", False) and log_dir is not None:
         from tggcn.train.checkpoint import load_last
 
@@ -119,6 +123,9 @@ def main(argv=None):
                 mtll["log_sds"] = last["trainable"]["mtll"]
             init_opt_state = last["opt_state"]
             initial_epoch = last["epoch"] + 1
+            initial_global_step = last.get("global_step", 0)
+            initial_best_val_loss = last.get("best_val_loss", float("inf"))
+            initial_checkpoint = last.get("best_checkpoint")
             print(f"Resumed from epoch {last['epoch']} ({log_dir}/last.ckpt)")
 
     # Run only the remaining epochs up to the configured total.
@@ -139,7 +146,10 @@ def main(argv=None):
                        checkpoint_name=checkpoint_name,
                        tensorboard_log_dir=cfg.logging.get("root_log_dir"),
                        log_dir=log_dir, init_params=params,
-                       init_opt_state=init_opt_state, initial_epoch=initial_epoch)
+                       init_opt_state=init_opt_state, initial_epoch=initial_epoch,
+                       initial_global_step=initial_global_step,
+                       initial_best_val_loss=initial_best_val_loss,
+                       initial_checkpoint=initial_checkpoint)
     if profiler_dir:
         jax.profiler.stop_trace()
     if log_dir is not None:
