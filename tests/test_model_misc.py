@@ -81,3 +81,70 @@ def test_shared_level_mlps_single_parameter():
     grads = jax.grad(loss)(params)
     g = np.asarray(grads["human_recognition_mlp"]["layers"][0]["w"])
     assert np.abs(g).max() > 0  # frame-head gradient lands on the shared tensor
+
+
+class TestFastSegmentScanEquivalence:
+    """_segment_scan_fast must match _segment_scan for every covered config."""
+
+    import pytest as _pytest
+
+    @_pytest.mark.parametrize("style,with_dists,aggregation", [
+        ("v1", False, "att"),
+        ("v2", False, "att"),
+        ("v3", False, "att"),
+        ("v4", False, "att"),
+        ("v3", True, "att"),   # distance-based attention
+        ("v1", True, "att"),   # dists override the style entirely
+        ("v2", False, "mp"),   # mean pooling
+    ])
+    def test_fast_matches_general(self, style, with_dists, aggregation):
+        import jax.numpy as jnp
+
+        from tggcn.models.tggcn import (
+            _fast_segment_scan_applicable,
+            _segment_scan,
+            _segment_scan_fast,
+        )
+
+        cfg = TGGCNConfig(
+            input_size=(2152, 2048), num_classes=(13, None), hidden_size=8,
+            gcn_node=26, message_humans_to_human=True, message_human_to_objects=True,
+            message_objects_to_human=True, message_objects_to_object=True,
+            message_segment=True, message_type="v2", message_granularity="v1",
+            message_aggregation=aggregation, attention_style=style,
+            discrete_optimization_strategy="st",
+            object_segment_update_strategy="ind", remat_segment_scan=False)
+        assert _fast_segment_scan_applicable(cfg, with_dists)
+        params = init_tggcn(jax.random.PRNGKey(3), cfg)
+
+        rng = np.random.default_rng(5)
+        b, t, nh, no, h = 2, 5, 2, 3, cfg.hidden_size
+        f_h = params["human_segment_rnn_fcell"]["w_ih"].shape[0] - 2 * h
+        f_o = params["object_segment_rnn_fcell"]["w_ih"].shape[0] - 2 * h
+        x_hs = rng.normal(size=(b, t, nh, f_h)).astype(np.float32)
+        x_os = rng.normal(size=(b, t, no, f_o)).astype(np.float32)
+        u_h = (rng.uniform(size=(b, t, nh)) > 0.4).astype(np.float32)
+        u_o = (rng.uniform(size=(b, t, no)) > 0.4).astype(np.float32)
+        u_h[:, -1] = u_o[:, -1] = 1.0
+        mask = np.ones((b, no), np.float32)
+        mask[0, -1] = 0.0
+        dists = None, None, None
+        if with_dists:
+            dists = tuple(
+                rng.uniform(0.05, 2.0, size=(b, t, r, s)).astype(np.float32)
+                for r, s in ((nh, nh), (nh, no), (no, no)))
+
+        fast = _segment_scan_fast(params, cfg, jnp.asarray(x_hs), jnp.asarray(x_os),
+                                  jnp.asarray(u_h), jnp.asarray(u_o),
+                                  jnp.asarray(mask), *[
+                                      jnp.asarray(d) if d is not None else None
+                                      for d in dists])
+        general = _segment_scan(params, cfg, jnp.asarray(x_hs), jnp.asarray(x_os),
+                                jnp.asarray(u_h), jnp.asarray(u_o),
+                                jnp.asarray(mask), *[
+                                    jnp.asarray(d) if d is not None else None
+                                    for d in dists])
+        names = ["hx_hs", "hx_os", "att_fwd", "att_bwd"]
+        for name, a, b_ in zip(names, fast, general):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-5, atol=1e-6, err_msg=name)

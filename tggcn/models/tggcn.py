@@ -536,7 +536,9 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
     seg_carry = (carry.get("seg_human"), carry.get("seg_object"))
     if _fast_segment_scan_applicable(cfg, use_dists):
         seg = _segment_scan_fast(params, cfg, x_hs, x_os, u_h_used, u_o_used,
-                                 objects_mask, seg_carry=seg_carry)
+                                 objects_mask, human_human_distances,
+                                 human_object_distances, object_object_distances,
+                                 seg_carry=seg_carry)
     else:
         seg = _segment_scan(params, cfg, x_hs, x_os, u_h_used, u_o_used, objects_mask,
                             human_human_distances, human_object_distances,
@@ -612,35 +614,39 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
 
 
 def _fast_segment_scan_applicable(cfg: TGGCNConfig, use_dists: bool) -> bool:
-    """The batched fast path covers the default configuration: non-relational
-    generic messages on all four entity edges, dot/scaled-dot attention, no
-    distance-based attention. Anything else takes the general path."""
+    """The batched fast path covers non-relational generic messages on all
+    four entity edges with any aggregation: attention styles v1 (concat-MLP,
+    single layer by construction), v2/v3 (dot / scaled dot), v4 (bilinear),
+    distance-based attention, and mean pooling. Relational messages and
+    'specific' granularity take the general path."""
     return (cfg.message_segment
             and not cfg.relational
             and cfg.message_granularity in {"v1", "generic"}
-            and cfg.attention
-            and cfg.attention_style in {"v2", "dot-product", "v3", "scaled_dot-product"}
-            and not use_dists
+            and (cfg.attention
+                 or cfg.message_aggregation in {"mp", "mean_pooling"})
             and cfg.message_humans_to_human and cfg.message_objects_to_human
             and cfg.message_human_to_objects and cfg.message_objects_to_object)
 
 
 def _segment_scan_fast(params, cfg: TGGCNConfig, x_hs, x_os, u_h, u_o, objects_mask,
+                       hh_dists=None, ho_dists=None, oo_dists=None,
                        seg_carry=(None, None)):
-    """Batched segment-level scan for the default config.
+    """Batched segment-level scan for non-relational generic configurations.
 
     Per scan step the general path issues ~30 small ops (8 message MLPs, 8
     attention computations, 4 GRU cells x 3 matmuls). Here both directions
     and both entity types batch together: 2 batched message matmuls (one per
     sender type, covering both edges and both directions), 4 batched
     attention einsums, and one batched 4-cell GRU update over entity-padded
-    states. Semantics identical to _segment_scan (golden-tested).
+    states. Covers attention styles v1-v4, distance-based attention and mean
+    pooling. Semantics identical to _segment_scan (equivalence-tested).
     """
     b, t, num_humans, _ = x_hs.shape
     num_objects = x_os.shape[2]
     h = cfg.hidden_size
     dtype = x_hs.dtype
     scale = 1.0 / math.sqrt(h) if cfg.attention_style in {"v3", "scaled_dot-product"} else 1.0
+    mean_pooling = cfg.message_aggregation in {"mp", "mean_pooling"}
     e_max = max(num_humans, num_objects)
 
     def base_gates(cell, x):
@@ -708,6 +714,54 @@ def _segment_scan_fast(params, cfg: TGGCNConfig, x_hs, x_os, u_h, u_o, objects_m
         w = jax.nn.softmax(scores, axis=-1)
         return jnp.where(jnp.isnan(w), 0.0, w)
 
+    def edge_attention(recv, send, mask, edge, dists):
+        """Attention weights (dir, B, R, S) for one edge, any style.
+
+        Mirrors tggcn.nn.messages semantics: mean pooling = masked uniform
+        weights; distance-based = inverse-distance softmax; v1 decomposes the
+        single-layer concat-MLP into receiver + sender projections; v4 is the
+        bilinear form; v2/v3 dot (scaled)."""
+        if mean_pooling:
+            full = jnp.broadcast_to(mask, (2, b, recv.shape[2], send.shape[2]))
+            full = full.astype(dtype)
+            return full / jnp.clip(jnp.sum(full, axis=-1, keepdims=True), min=1.0)
+        if dists is not None:
+            from tggcn.nn.messages import distance_based_attention_weights
+
+            full = jnp.broadcast_to(mask, dists.shape).astype(dtype)
+            return distance_based_attention_weights(dists, full)
+        if cfg.attention_style in {"v1", "concat"}:
+            layer = params[edge]["segment"]["att"]["layers"][0]
+            w = layer["w"]
+            q = recv @ w[:h]                                    # (d,B,R,1)
+            k = send @ w[h:]                                    # (d,B,S,1)
+            scores = q + jnp.swapaxes(k, -1, -2)
+            if "b" in layer:
+                scores = scores + layer["b"][0]
+            scores = jax.nn.relu(scores)
+        elif cfg.attention_style in {"v2", "dot-product", "v3", "scaled_dot-product"}:
+            scores = jnp.einsum("dbnh,dbmh->dbnm", recv, send) * scale
+        else:  # v4 / general bilinear
+            bil = params[edge]["segment"]["att"]
+            scores = jnp.einsum("dbnh,hk,dbmk->dbnm", recv, bil["w"][0], send)
+            if "b" in bil:
+                scores = scores + bil["b"][0]
+            scores = jax.nn.relu(scores)
+        return masked_softmax(scores, mask)
+
+    # Distance tensors (distance-based attention): time-major, fwd + flipped
+    # bwd stacked on a direction axis; dummies threaded when absent (static
+    # Python flags decide whether an edge reads them).
+    def dist_stack(d):
+        if d is None:
+            return jnp.zeros((t, 2, 1, 1, 1), dtype)
+        d_t = jnp.moveaxis(d, 1, 0)
+        return jnp.stack([d_t, d_t[::-1]], axis=1)          # (T, 2, B, R, S)
+
+    use_dists = not mean_pooling and any(
+        d is not None for d in (hh_dists, ho_dists, oo_dists))
+    d_hh, d_ho, d_oo = dist_stack(hh_dists), dist_stack(ho_dists), dist_stack(oo_dists)
+
     seg_h0, seg_o0 = seg_carry
     h_h0 = seg_h0 if seg_h0 is not None else jnp.zeros((b, num_humans, h), dtype)
     h_o0 = seg_o0 if seg_o0 is not None else jnp.zeros((b, num_objects, h), dtype)
@@ -716,23 +770,33 @@ def _segment_scan_fast(params, cfg: TGGCNConfig, x_hs, x_os, u_h, u_o, objects_m
 
     def step(carry, inp):
         h_h2, h_o2 = carry                                  # (2,B,H,h), (2,B,O,h)
-        gi4_i, u4_i = inp                                    # (4,B,E,3h), (4,B,E)
+        gi4_i, u4_i, d_hh_i, d_ho_i, d_oo_i = inp           # (4,B,E,3h), (4,B,E), dists
+        if not use_dists:
+            d_hh_e = d_oh_e = d_ho_e = d_oo_e = None
+        else:
+            d_hh_e = d_hh_i if hh_dists is not None else None
+            d_oh_e = d_ho_i if ho_dists is not None else None
+            d_ho_e = (jnp.swapaxes(d_ho_i, -1, -2)
+                      if ho_dists is not None else None)
+            d_oo_e = d_oo_i if oo_dists is not None else None
         # Messages from each sender type: 2 edges x 2 directions in one matmul.
         m_h = jax.nn.relu(jnp.einsum("dbnh,ehk->edbnk", h_h2, w_from_h) + b_from_h)
         m_o = jax.nn.relu(jnp.einsum("dbnh,ehk->edbnk", h_o2, w_from_o) + b_from_o)
-        # Attention (dot / scaled dot) per edge, masked softmax over senders.
-        s_hh = jnp.einsum("dbnh,dbmh->dbnm", h_h2, h_h2) * scale
-        a_hh = masked_softmax(s_hh, (1.0 - eye_h)[None, None])
+        # Attention per edge (style-dispatched), masked softmax over senders.
+        a_hh = edge_attention(h_h2, h_h2, (1.0 - eye_h)[None, None], "h2h", d_hh_e)
         mg_hh = jnp.einsum("dbnm,dbmh->dbnh", a_hh, m_h[0])
-        s_oh = jnp.einsum("dbnh,dbmh->dbnm", h_h2, h_o2) * scale
-        a_oh = masked_softmax(s_oh, obj_mask_r)
+        a_oh = edge_attention(h_h2, h_o2, obj_mask_r, "o2h", d_oh_e)
         mg_oh = jnp.einsum("dbnm,dbmh->dbnh", a_oh, m_o[0])
-        s_ho = jnp.einsum("dbnh,dbmh->dbnm", h_o2, h_h2) * scale
-        a_ho = masked_softmax(s_ho, jnp.ones_like(s_ho))
+        a_ho = edge_attention(h_o2, h_h2,
+                              jnp.ones((1, 1, num_objects, num_humans), dtype),
+                              "h2o", d_ho_e)
         mg_ho = jnp.einsum("dbnm,dbmh->dbnh", a_ho, m_h[1])
-        s_oo = jnp.einsum("dbnh,dbmh->dbnm", h_o2, h_o2) * scale
-        a_oo = masked_softmax(s_oo, obj_mask_r * (1.0 - eye_o)[None, None])
+        a_oo = edge_attention(h_o2, h_o2, obj_mask_r * (1.0 - eye_o)[None, None],
+                              "o2o", d_oo_e)
         mg_oo = jnp.einsum("dbnm,dbmh->dbnh", a_oo, m_o[1])
+        if mean_pooling:
+            # The general path records no attention under mean pooling.
+            a_oh = jnp.zeros((2, b, num_humans, num_objects), dtype)
 
         msgs_h = jnp.concatenate([mg_hh, mg_oh], axis=-1)    # (2,B,H,2h)
         msgs_o = jnp.concatenate([mg_ho, mg_oo], axis=-1)    # (2,B,O,2h)
@@ -754,7 +818,8 @@ def _segment_scan_fast(params, cfg: TGGCNConfig, x_hs, x_os, u_h, u_o, objects_m
         return (h_h2_n, h_o2_n), (h_h2_n, h_o2_n, a_oh)
 
     body = jax.checkpoint(step) if cfg.remat_segment_scan else step
-    _, (h_h_seq, h_o_seq, att_seq) = jax.lax.scan(body, init, (gi4, u4),
+    _, (h_h_seq, h_o_seq, att_seq) = jax.lax.scan(body, init,
+                                                  (gi4, u4, d_hh, d_ho, d_oo),
                                                   unroll=cfg.scan_unroll)
 
     def order(seq, idx_f, idx_b):
