@@ -112,3 +112,32 @@ def test_entry_compiles():
     outputs = jax.jit(forward)(*args)
     assert len(outputs) == 6
     assert np.isfinite(np.asarray(outputs[-1])).all()
+
+
+def test_2d_dcn_data_mesh_matches_single_device(tiny_setup):
+    """('dcn','data') 2x4 mesh: batch sharded over both axes, same losses."""
+    from tggcn.parallel.mesh import make_mesh_2d, replicate, shard_batch
+    from tggcn.train.loop import make_train_step
+
+    model, params, optimizer, criterion, feeder, fetcher, batch = tiny_setup
+
+    def copy(tree):
+        return jax.tree_util.tree_map(lambda x: jax.numpy.array(np.asarray(x)), tree)
+
+    key = jax.random.PRNGKey(7)
+    step1 = make_train_step(model, feeder, criterion, optimizer)
+    data, targets = fetcher(batch)
+    t1 = {"model": copy(params)}
+    o1 = optimizer.init(t1)
+    _, _, losses1, _ = step1(t1, o1, key, data, targets)
+
+    mesh = make_mesh_2d(2, 4)
+    assert mesh.axis_names == ("dcn", "data") and mesh.devices.shape == (2, 4)
+    step2d = make_train_step(model, feeder, criterion, optimizer, mesh=mesh)
+    t2 = replicate({"model": copy(params)}, mesh)
+    o2 = replicate(optimizer.init(t2), mesh)
+    data2, targets2 = fetcher(shard_batch(batch, mesh))
+    _, _, losses2, _ = step2d(t2, o2, key, data2, targets2)
+
+    np.testing.assert_allclose(np.asarray(losses2), np.asarray(losses1),
+                               rtol=1e-5, atol=1e-6)
