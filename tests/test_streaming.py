@@ -56,6 +56,41 @@ def test_streaming_matches_offline_with_full_lookahead(small_model):
                                    err_msg=f"output {i}")
 
 
+def test_fused_window_groups_match_per_window_path(small_model):
+    """The lax.scan-fused interior-window path (one jit dispatch per
+    fuse_group windows) must be numerically identical to the per-window
+    dispatch loop — same ops, same carry threading, same emit slicing."""
+    cfg, params = small_model
+    t = 30  # window 4, lookahead 2 -> 6 fused interior starts + tail
+    x_human, x_objects, mask, seg = _inputs(t=t, seed=7)
+    base = StreamingRunner(params, cfg, window=4, lookahead=2,
+                           rng=jax.random.PRNGKey(42), fuse_group=1)
+    fused = StreamingRunner(params, cfg, window=4, lookahead=2,
+                            rng=jax.random.PRNGKey(42), fuse_group=4)
+    out_base = base.run(x_human, x_objects, mask, human_segmentation=seg)
+    out_fused = fused.run(x_human, x_objects, mask, human_segmentation=seg)
+    assert len(out_base) == len(out_fused)
+    for i, (a, b) in enumerate(zip(out_base, out_fused)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"output {i}")
+
+
+def test_fused_windows_without_gt_segmentation(small_model):
+    """Fusion must also hold when the model makes its own ('st') decisions."""
+    cfg, params = small_model
+    t = 24
+    x_human, x_objects, mask, _ = _inputs(t=t, seed=8)
+    base = StreamingRunner(params, cfg, window=4, lookahead=2,
+                           rng=jax.random.PRNGKey(42), fuse_group=1)
+    fused = StreamingRunner(params, cfg, window=4, lookahead=2,
+                            rng=jax.random.PRNGKey(42), fuse_group=8)
+    out_base = base.run(x_human, x_objects, mask)
+    out_fused = fused.run(x_human, x_objects, mask)
+    for i, (a, b) in enumerate(zip(out_base, out_fused)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"output {i}")
+
+
 def test_streaming_bounded_lookahead_runs_and_shapes(small_model):
     cfg, params = small_model
     t = 20

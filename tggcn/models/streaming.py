@@ -16,7 +16,15 @@ unbounded stream in fixed windows with:
   * few static program shapes: all interior chunks share one
     (window + lookahead) shape; only the final shorter chunk compiles a
     second program (pad frames are avoided on purpose — they would corrupt
-    the backward carry).
+    the backward carry);
+  * device-fused window batches: interior windows are processed in groups by
+    ONE `lax.scan` over window start offsets inside a single jit call
+    (`fuse_group` windows per dispatch), so the per-window host round trip —
+    which dominates end-to-end latency on remote-TPU deployments — amortises
+    across the group. The scan body dynamic-slices each chunk out of the
+    device-resident stream, threads the carry, and emits only the first
+    `window` frames; numerics are identical to the window-by-window path
+    (explicit zero carries equal the fresh-start defaults, tggcn.py:956-958).
 
 Use via `StreamingRunner.run(x_human, x_objects, objects_mask)` or step-wise
 via `process_window`.
@@ -33,13 +41,17 @@ from tggcn.models.tggcn import TGGCNConfig, apply_tggcn
 
 class StreamingRunner:
     def __init__(self, params: dict, cfg: TGGCNConfig, window: int, lookahead: int,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None, fuse_group: int = 16):
         self.params = params
         self.cfg = cfg
         self.window = window
         self.lookahead = lookahead
+        # Interior windows fused per device dispatch (1 disables fusion).
+        self.fuse_group = max(1, int(fuse_group))
         self.rng = rng if rng is not None else jax.random.PRNGKey(42)
         self._jitted = jax.jit(self._forward, static_argnames=("is_last",))
+        self._jitted_fused = jax.jit(self._forward_fused,
+                                     static_argnames=("num_windows", "with_seg"))
 
     def _forward(self, params, x_human, x_objects, objects_mask, steps, carry,
                  human_segmentation, is_last):
@@ -51,6 +63,52 @@ class StreamingRunner:
             force_last_step_commit=is_last)
         return outputs, aux["carry_seq"]
 
+    def _zero_carry(self, b, num_humans, num_objects, dtype):
+        h = self.cfg.hidden_size
+        z = lambda e: jnp.zeros((b, e, h), dtype=dtype)
+        return {"frame_human": z(num_humans), "frame_object": z(num_objects),
+                "frame_geometry": z(1), "seg_human": z(num_humans),
+                "seg_object": z(num_objects)}
+
+    def _forward_fused(self, params, x_human, x_objects, objects_mask, starts,
+                       carry, human_segmentation, num_windows, with_seg):
+        """Process `num_windows` interior chunks in ONE lax.scan over start
+        offsets. Each step slices a (window + lookahead) chunk from the
+        device-resident stream, runs the model with the threaded carry, and
+        emits the first `window` frames. Interior chunks never contain the
+        stream's final frame, so force_last_step_commit is statically False.
+        """
+        b = x_human.shape[0]
+        chunk = self.window + self.lookahead
+        steps = jnp.full((b,), float(chunk), dtype=x_human.dtype)
+
+        def body(carry, start):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, chunk, axis=1)
+            seg = sl(human_segmentation) if with_seg else None
+            outputs, aux = apply_tggcn(
+                params, self.cfg, sl(x_human), sl(x_objects), objects_mask,
+                human_segmentation=seg, steps_per_example=steps, train=False,
+                rng=self.rng, carry=carry, return_carry=True,
+                force_last_step_commit=False)
+            boundary = self.window - 1
+            new_carry = {k: v[:, boundary] for k, v in aux["carry_seq"].items()}
+            emitted = tuple(o[:, :, : self.window] if o.ndim == 4
+                            else o[:, : self.window] for o in outputs)
+            return new_carry, emitted
+
+        assert starts.shape[0] == num_windows
+        carry, emitted = jax.lax.scan(body, carry, starts)
+        return emitted, carry
+
+    @staticmethod
+    def _stitch_windows(stacked: np.ndarray) -> np.ndarray:
+        """(K, B, C, w, E) -> (B, C, K*w, E) or (K, B, w, E) -> (B, K*w, E)."""
+        if stacked.ndim == 5:
+            k, b, c, w, e = stacked.shape
+            return stacked.transpose(1, 2, 0, 3, 4).reshape(b, c, k * w, e)
+        k, b, w, e = stacked.shape
+        return stacked.transpose(1, 0, 2, 3).reshape(b, k * w, e)
+
     def run(self, x_human: np.ndarray, x_objects: np.ndarray, objects_mask: np.ndarray,
             human_segmentation: Optional[np.ndarray] = None):
         """Process a (1, T, ...) stream window-by-window; returns stitched outputs.
@@ -60,9 +118,43 @@ class StreamingRunner:
         """
         b, t = x_human.shape[:2]
         chunk_len = self.window + self.lookahead
-        carry = {}
+        starts_all = list(range(0, t, self.window))
+        # Interior windows (a full chunk that does NOT reach the stream end)
+        # are eligible for fusion; the remainder goes through the per-window
+        # path (it needs is_last / short-chunk handling).
+        fused_starts = [s for s in starts_all if s + chunk_len < t]
         emitted = None
-        for start in range(0, t, self.window):
+        carry = {}
+
+        def append(keep):
+            nonlocal emitted
+            if emitted is None:
+                emitted = list(keep)
+            else:
+                for i, o in enumerate(keep):
+                    axis = 2 if o.ndim == 4 else 1
+                    emitted[i] = np.concatenate([emitted[i], o], axis=axis)
+
+        tail_starts = starts_all
+        if self.fuse_group > 1 and len(fused_starts) >= 2:
+            xh = jax.device_put(x_human)
+            xo = jax.device_put(x_objects)
+            seg = (jax.device_put(human_segmentation)
+                   if human_segmentation is not None else None)
+            num_humans, num_objects = x_human.shape[2], x_objects.shape[2]
+            carry = self._zero_carry(b, num_humans, num_objects, x_human.dtype)
+            # Fixed-size groups share one compiled program; a shorter final
+            # group compiles at most one extra program per distinct size.
+            for g0 in range(0, len(fused_starts), self.fuse_group):
+                group = fused_starts[g0: g0 + self.fuse_group]
+                starts = jnp.asarray(group, dtype=jnp.int32)
+                stacked, carry = self._jitted_fused(
+                    self.params, xh, xo, objects_mask, starts, carry, seg,
+                    num_windows=len(group), with_seg=seg is not None)
+                append([self._stitch_windows(np.asarray(o)) for o in stacked])
+            tail_starts = starts_all[len(fused_starts):]
+
+        for start in tail_starts:
             end = min(start + chunk_len, t)
             # The forced u=1 commit applies whenever the chunk contains the
             # true final frame (matching the offline forward's last step).
@@ -90,12 +182,7 @@ class StreamingRunner:
                     keep.append(o[:, :, :emit])
                 else:
                     keep.append(o[:, :emit])
-            if emitted is None:
-                emitted = keep
-            else:
-                for i, o in enumerate(keep):
-                    axis = 2 if o.ndim == 4 else 1
-                    emitted[i] = np.concatenate([emitted[i], o], axis=axis)
+            append(keep)
             # Slice the forward carries at the emit boundary so lookahead
             # frames never contaminate the next window's state. Stays on
             # device — no host round trip between windows.

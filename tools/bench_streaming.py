@@ -23,6 +23,9 @@ def main():
     parser.add_argument("--window", type=int, default=128)
     parser.add_argument("--lookahead", type=int, default=32)
     parser.add_argument("--hidden", type=int, default=512)
+    parser.add_argument("--fuse_group", type=int, default=16,
+                        help="Interior windows fused per device dispatch "
+                             "(1 = the per-window path).")
     args = parser.parse_args()
 
     import jax
@@ -45,10 +48,11 @@ def main():
     x_objects = rng.normal(size=(1, t, num_objects, 2048)).astype(np.float32)
     mask = np.ones((1, num_objects), np.float32)
 
-    runner = StreamingRunner(params, cfg, window=args.window, lookahead=args.lookahead)
-    # Warm up (compiles the interior-chunk and final-chunk programs).
-    runner.run(x_human[:, : 2 * args.window + args.lookahead],
-               x_objects[:, : 2 * args.window + args.lookahead], mask)
+    runner = StreamingRunner(params, cfg, window=args.window,
+                             lookahead=args.lookahead, fuse_group=args.fuse_group)
+    # Warm up on the FULL stream (compiles the fused window-group program(s)
+    # and the final-chunk program; a short warmup would miss the fused path).
+    runner.run(x_human, x_objects, mask)
     start = time.perf_counter()
     outputs = runner.run(x_human, x_objects, mask)
     _ = np.asarray(outputs[-1])
