@@ -97,6 +97,22 @@ class TGGCNConfig:
     # XLA reference backward), so valid for training and inference on TPU;
     # leave off on CPU (kernel requires Mosaic unless interpret mode).
     use_pallas_geo_gcn: bool = False
+    # Route the frame-level multi-stream BiGRU through the fused Pallas
+    # sequence kernel (tggcn/ops/gru_pallas.py): hidden state resident in
+    # VMEM across the whole T loop, one kernel launch per direction instead
+    # of a lax.scan of small ops. Differentiable (forward AND backward are
+    # Pallas kernels). TPU-only (use the XLA scan on CPU); best when
+    # hidden_size is a multiple of 128.
+    use_pallas_gru: bool = False
+    # Activation/compute precision of the heavy path (embedding MLPs, frame
+    # BiGRUs, messages, segment scan). 'bfloat16' casts inputs and the
+    # heavy-path parameters at apply entry — master parameters stay float32
+    # (gradients flow back through the cast), so optimizer state and
+    # checkpoints are unaffected. Kept float32 regardless: the GeoGCN block
+    # (BatchNorm running statistics), the classification heads/log-softmax,
+    # and all returned outputs. See tests/test_bf16.py for the measured
+    # deviation study vs the float32 path.
+    compute_dtype: str = "float32"
 
     @classmethod
     def from_kwargs(cls, **kwargs):
@@ -310,6 +326,33 @@ def _cat_valid(tensors, axis=-1):
     return jnp.concatenate([t for t in tensors if t is not None], axis=axis)
 
 
+def _work_dtype(cfg: TGGCNConfig):
+    """The compute dtype for the heavy path, or None for plain float32."""
+    if cfg.compute_dtype in (None, "float32", "f32"):
+        return None
+    return jnp.dtype(cfg.compute_dtype)
+
+
+def _cast_params_for_compute(params: dict, dtype) -> dict:
+    """Cast heavy-path parameters to the compute dtype.
+
+    Excluded (stay float32): the GeoGCN block — its BatchNorm running
+    statistics must not round-trip through bfloat16 across training steps —
+    and the classification head MLPs, whose log-softmax accuracy sets the
+    loss precision.
+    """
+    def keep(name):
+        return (name == "geometry_embedding_gcn"
+                or name.endswith("_recognition_mlp")
+                or name.endswith("_prediction_mlp"))
+
+    def cast_leaf(a):
+        return a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+
+    return {k: (v if keep(k) else jax.tree_util.tree_map(cast_leaf, v))
+            for k, v in params.items()}
+
+
 def _split_geometry(x_human):
     """Dataset dispatch on human feature width (reference models.py:630-639)."""
     width = x_human.shape[3]
@@ -364,8 +407,22 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
         rng = jax.random.PRNGKey(0)
     rng_h, rng_o = jax.random.split(rng)
 
+    # --- Mixed precision -------------------------------------------------
+    work_dtype = _work_dtype(cfg)
+    if work_dtype is not None:
+        params = _cast_params_for_compute(params, work_dtype)
+        x_objects = x_objects.astype(work_dtype)
+        objects_mask = objects_mask.astype(work_dtype)
+        cast_opt = lambda a: None if a is None else a.astype(work_dtype)
+        human_human_distances = cast_opt(human_human_distances)
+        human_object_distances = cast_opt(human_object_distances)
+        object_object_distances = cast_opt(object_object_distances)
+        steps_per_example = cast_opt(steps_per_example)
+
     # --- Geometry stream -------------------------------------------------
     x_vis, x_geometry = _split_geometry(x_human)
+    if work_dtype is not None:
+        x_vis = x_vis.astype(work_dtype)  # geometry stays f32 for the GCN+BN
     vw = x_geometry.shape[-1]
     if vw // 4 != cfg.gcn_node:
         raise ValueError(
@@ -384,6 +441,8 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
         # bit-for-bit for parity.
         geo_flat = jnp.transpose(geo_out, (0, 3, 2, 1)).reshape(
             b, t, 1, geo_out.shape[-1] * (vw // 4))
+    if work_dtype is not None:
+        geo_flat = geo_flat.astype(work_dtype)
     x_geo_emb = apply_mlp(params["geometry_embedding_mlp"], geo_flat, activations=["relu", "relu"])
     x_hum_emb = apply_mlp(params["human_embedding_mlp"], x_vis, activations=["relu"])
     x_obj_emb = apply_mlp(params["object_embedding_mlp"], x_objects, activations=["relu"])
@@ -393,6 +452,8 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
     # (run_multi_bigru): one batched recurrent matmul pair per step instead
     # of six independent T-length scans.
     carry = carry or {}
+    if work_dtype is not None and carry:
+        carry = {k: v.astype(work_dtype) for k, v in carry.items()}
     h0s = None
     if any(k in carry for k in ("frame_human", "frame_object", "frame_geometry")):
         h0s = [carry.get("frame_human",
@@ -400,9 +461,18 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
                carry.get("frame_object",
                          jnp.zeros((b, num_objects, hidden), x_obj_emb.dtype)),
                carry.get("frame_geometry", jnp.zeros((b, 1, hidden), x_geo_emb.dtype))]
-    h_hfr, h_ofr, _h_sfr = run_multi_bigru(
-        [params["human_bd_rnn"], params["object_bd_rnn"], params["geometry_bd_rnn"]],
-        [x_hum_emb, x_obj_emb, x_geo_emb], h0_fwd_list=h0s, unroll=cfg.scan_unroll)
+    frame_rnns = [params["human_bd_rnn"], params["object_bd_rnn"],
+                  params["geometry_bd_rnn"]]
+    frame_xs = [x_hum_emb, x_obj_emb, x_geo_emb]
+    if cfg.use_pallas_gru:
+        from tggcn.ops.gru_pallas import run_multi_bigru_pallas
+
+        h_hfr, h_ofr, _h_sfr = run_multi_bigru_pallas(frame_rnns, frame_xs,
+                                                      h0_fwd_list=h0s)
+    else:
+        h_hfr, h_ofr, _h_sfr = run_multi_bigru(frame_rnns, frame_xs,
+                                               h0_fwd_list=h0s,
+                                               unroll=cfg.scan_unroll)
     h_hf = apply_mlp(params["human_bd_embedding_mlp"], h_hfr, activations=["relu"])
     h_of = apply_mlp(params["object_bd_embedding_mlp"], h_ofr, activations=["relu"])
     h_sf = apply_mlp(params["geometry_bd_embedding_mlp"], _h_sfr, activations=["relu"])
@@ -470,7 +540,7 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
         return jnp.broadcast_to(x_tt, (b, t, num_entities, hidden))
 
     if human_segmentation is not None:
-        u_h_hard = u_h_soft = human_segmentation.astype(x_human.dtype)
+        u_h_hard = u_h_soft = human_segmentation.astype(x_hum_emb.dtype)
     else:
         upd_in = _cat_valid([x_hum_emb, h_hf, m_hh, m_oh, m_sh, broadcast_tt(num_humans)])
         u_soft = apply_mlp(params["update_human_segment_mlp"], upd_in,
@@ -484,7 +554,7 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
             u_h_hard = u_h_hard.at[:, -1, :].set(1.0)
 
     if objects_segmentation is not None:
-        u_o_hard = u_o_soft = objects_segmentation.astype(x_human.dtype)
+        u_o_hard = u_o_soft = objects_segmentation.astype(x_hum_emb.dtype)
     else:
         # The human decision conditions the object decision only in the
         # single-human case (reference models.py:741-742).
@@ -574,6 +644,8 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
             name = name.replace("_frame_recognition_mlp", "_recognition_mlp")
         elif shared and name.endswith("_frame_prediction_mlp"):
             name = name.replace("_frame_prediction_mlp", "_prediction_mlp")
+        if work_dtype is not None:
+            x = x.astype(jnp.float32)  # heads + log-softmax stay full precision
         out = apply_mlp(params[name], x, activations=[{"name": "logsoftmax", "dim": -1}])
         return jnp.transpose(out, (0, 3, 1, 2))  # (B, C, T, E)
 
@@ -593,6 +665,11 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
                   y_h_rec, y_h_pred, y_o_rec, y_o_pred]
     else:
         output = [y_hs, y_hss, y_hf_rec, y_hf_pred, y_h_rec, y_h_pred]
+    if work_dtype is not None:
+        # Decision outputs come out of the bf16 path; losses and all consumers
+        # (predict.py slicing, streaming stitching) see float32 regardless of
+        # the compute dtype.
+        output = [o.astype(jnp.float32) for o in output]
 
     aux = {"bn_state": bn_state}
     if return_carry:
@@ -608,7 +685,7 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
     if inspect_model:
         # (B, T, H, O) -> (B, H, T, O), matching the reference stacking
         # (models.py:927-931).
-        to_ref = lambda a: jnp.transpose(a, (0, 2, 1, 3))
+        to_ref = lambda a: jnp.transpose(a, (0, 2, 1, 3)).astype(jnp.float32)
         aux["attention_scores"] = [to_ref(att_frame), to_ref(att_seg_f), to_ref(att_seg_b)]
     return output, aux
 
