@@ -123,17 +123,12 @@ class StreamingRunner:
         # are eligible for fusion; the remainder goes through the per-window
         # path (it needs is_last / short-chunk handling).
         fused_starts = [s for s in starts_all if s + chunk_len < t]
-        emitted = None
+        # All jit calls are dispatched back-to-back (each consumes only the
+        # previous call's DEVICE carry); host fetches of the emitted outputs
+        # happen once at the end, so the per-dispatch host round trip — the
+        # dominant latency on remote-TPU deployments — pays only once.
+        pending = []
         carry = {}
-
-        def append(keep):
-            nonlocal emitted
-            if emitted is None:
-                emitted = list(keep)
-            else:
-                for i, o in enumerate(keep):
-                    axis = 2 if o.ndim == 4 else 1
-                    emitted[i] = np.concatenate([emitted[i], o], axis=axis)
 
         tail_starts = starts_all
         if self.fuse_group > 1 and len(fused_starts) >= 2:
@@ -151,7 +146,7 @@ class StreamingRunner:
                 stacked, carry = self._jitted_fused(
                     self.params, xh, xo, objects_mask, starts, carry, seg,
                     num_windows=len(group), with_seg=seg is not None)
-                append([self._stitch_windows(np.asarray(o)) for o in stacked])
+                pending.append(("fused", stacked, None))
             tail_starts = starts_all[len(fused_starts):]
 
         for start in tail_starts:
@@ -173,19 +168,34 @@ class StreamingRunner:
             outputs, carry_seq = self._jitted(self.params, xh, xo, objects_mask,
                                               steps, carry, seg, is_last)
             emit = min(self.window, t - start)
-            # Class-dim outputs are (B, C, T, E): slice time on axis 2;
-            # decision outputs are (B, T, E): slice time on axis 1.
-            keep = []
-            for o in outputs:
-                o = np.asarray(o)
-                if o.ndim == 4:
-                    keep.append(o[:, :, :emit])
-                else:
-                    keep.append(o[:, :emit])
-            append(keep)
+            pending.append(("tail", outputs, emit))
             # Slice the forward carries at the emit boundary so lookahead
             # frames never contaminate the next window's state. Stays on
             # device — no host round trip between windows.
             boundary = emit - 1
             carry = {k: v[:, boundary] for k, v in carry_seq.items()}
+
+        # Fetch + stitch everything after the last dispatch.
+        emitted = None
+
+        def append(keep):
+            nonlocal emitted
+            if emitted is None:
+                emitted = list(keep)
+            else:
+                for i, o in enumerate(keep):
+                    axis = 2 if o.ndim == 4 else 1
+                    emitted[i] = np.concatenate([emitted[i], o], axis=axis)
+
+        for kind, outputs, emit in pending:
+            if kind == "fused":
+                append([self._stitch_windows(np.asarray(o)) for o in outputs])
+            else:
+                # Class-dim outputs are (B, C, T, E): slice time on axis 2;
+                # decision outputs are (B, T, E): slice time on axis 1.
+                keep = []
+                for o in outputs:
+                    o = np.asarray(o)
+                    keep.append(o[:, :, :emit] if o.ndim == 4 else o[:, :emit])
+                append(keep)
         return emitted

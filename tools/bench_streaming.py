@@ -12,6 +12,8 @@ import os
 import sys
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -53,13 +55,30 @@ def main():
     # Warm up on the FULL stream (compiles the fused window-group program(s)
     # and the final-chunk program; a short warmup would miss the fused path).
     runner.run(x_human, x_objects, mask)
-    start = time.perf_counter()
-    outputs = runner.run(x_human, x_objects, mask)
-    _ = np.asarray(outputs[-1])
-    elapsed = time.perf_counter() - start
-    print(f"streaming: {t} frames in {elapsed:.2f}s -> {t / elapsed:.1f} frames/s "
-          f"(window {args.window}, lookahead {args.lookahead}, latency/window "
-          f"{elapsed / (t / args.window) * 1000:.1f} ms)")
+
+    def best_of(fn, trials=3):
+        best = float("inf")
+        for _ in range(trials):
+            start = time.perf_counter()
+            outputs = fn()
+            _ = np.asarray(outputs[-1])
+            best = min(best, time.perf_counter() - start)
+        return best
+
+    # End-to-end: includes the host->device ingest of the raw stream (~50 KB
+    # per frame), which dominates on this remote-TPU tunnel (~15-35 MB/s).
+    e2e = best_of(lambda: runner.run(x_human, x_objects, mask))
+    # Steady-state: the stream already device-resident (the realistic serving
+    # regime — frames arrive incrementally, ingest overlaps compute).
+    xh_d = jax.device_put(x_human)
+    xo_d = jax.device_put(x_objects)
+    _ = np.asarray(xh_d[0, 0, 0, :8])  # sync the transfer
+    steady = best_of(lambda: runner.run(xh_d, xo_d, mask))
+    print(f"streaming: {t} frames; e2e (incl. ingest) {e2e:.2f}s -> "
+          f"{t / e2e:.1f} frames/s; device-resident {steady:.2f}s -> "
+          f"{t / steady:.1f} frames/s (window {args.window}, lookahead "
+          f"{args.lookahead}, fuse_group {args.fuse_group}, latency/window "
+          f"{steady / (t / args.window) * 1000:.1f} ms)")
 
 
 if __name__ == "__main__":
