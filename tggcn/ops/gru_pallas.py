@@ -40,24 +40,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fwd_kernel(gi_ref, w_ref, b_ref, h0_ref, out_ref, h_scr):
-    """One time step: gh = h @ W + b; gates; h' = (1-z)*n + z*h."""
+    """One time step: gh = h @ W + b; gates; h' = (1-z)*n + z*h.
+
+    All gate math runs in float32 regardless of the IO dtype (Mosaic
+    requires uniform element types, and the recurrent state deserves full
+    precision even when activations stream as bfloat16); the state scratch
+    is float32 for the same reason.
+    """
     @pl.when(pl.program_id(0) == 0)
     def _():
-        h_scr[:] = h0_ref[:]
+        h_scr[:] = h0_ref[:].astype(jnp.float32)
 
     gi = gi_ref[0]                                  # (S, R, 3h)
     num_streams = gi.shape[0]
     h_dim = gi.shape[-1] // 3
     for s in range(num_streams):                    # static unroll over streams
-        h = h_scr[s]                                # (R, h)
-        gh = jnp.dot(h, w_ref[s], preferred_element_type=jnp.float32) + b_ref[s]
-        gh = gh.astype(h.dtype)
-        r = jax.nn.sigmoid(gi[s, :, :h_dim] + gh[:, :h_dim])
-        z = jax.nn.sigmoid(gi[s, :, h_dim:2 * h_dim] + gh[:, h_dim:2 * h_dim])
-        n = jnp.tanh(gi[s, :, 2 * h_dim:] + r * gh[:, 2 * h_dim:])
+        h = h_scr[s]                                # (R, h) float32
+        gh = (jnp.dot(h, w_ref[s].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+              + b_ref[s].astype(jnp.float32))
+        gi_s = gi[s].astype(jnp.float32)
+        r = jax.nn.sigmoid(gi_s[:, :h_dim] + gh[:, :h_dim])
+        z = jax.nn.sigmoid(gi_s[:, h_dim:2 * h_dim] + gh[:, h_dim:2 * h_dim])
+        n = jnp.tanh(gi_s[:, 2 * h_dim:] + r * gh[:, 2 * h_dim:])
         h_new = (1.0 - z) * n + z * h
         h_scr[s] = h_new
-        out_ref[0, s] = h_new
+        out_ref[0, s] = h_new.astype(out_ref.dtype)
 
 
 def _bwd_kernel(gi_ref, hprev_ref, g_ref, w_ref, b_ref,
@@ -77,15 +85,18 @@ def _bwd_kernel(gi_ref, hprev_ref, g_ref, w_ref, b_ref,
     num_streams = gi.shape[0]
     h_dim = gi.shape[-1] // 3
     for s in range(num_streams):
-        dh = dh_scr[s] + gt[s]                      # (R, h)
-        gh = jnp.dot(hp[s], w_ref[s], preferred_element_type=jnp.float32) + b_ref[s]
-        gh = gh.astype(dh.dtype)
+        hp_s = hp[s].astype(jnp.float32)
+        dh = dh_scr[s] + gt[s].astype(jnp.float32)  # (R, h) float32
+        gh = (jnp.dot(hp_s, w_ref[s].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+              + b_ref[s].astype(jnp.float32))
+        gi_s = gi[s].astype(jnp.float32)
         h_n = gh[:, 2 * h_dim:]
-        r = jax.nn.sigmoid(gi[s, :, :h_dim] + gh[:, :h_dim])
-        z = jax.nn.sigmoid(gi[s, :, h_dim:2 * h_dim] + gh[:, h_dim:2 * h_dim])
-        n = jnp.tanh(gi[s, :, 2 * h_dim:] + r * h_n)
+        r = jax.nn.sigmoid(gi_s[:, :h_dim] + gh[:, :h_dim])
+        z = jax.nn.sigmoid(gi_s[:, h_dim:2 * h_dim] + gh[:, h_dim:2 * h_dim])
+        n = jnp.tanh(gi_s[:, 2 * h_dim:] + r * h_n)
         dn = dh * (1.0 - z)
-        dz = dh * (hp[s] - n)
+        dz = dh * (hp_s - n)
         dtanh = dn * (1.0 - n * n)
         dr = dtanh * h_n
         d_ir = dr * r * (1.0 - r)
@@ -94,15 +105,16 @@ def _bwd_kernel(gi_ref, hprev_ref, g_ref, w_ref, b_ref,
         dgh_s = jnp.concatenate([d_ir, d_iz, dtanh * r], axis=-1)
         # dh_prev = dh * z + dgh @ W^T (contract the 3h axis).
         dh_prev = dh * z + jax.lax.dot_general(
-            dgh_s, w_ref[s], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dh.dtype)
-        dgi_ref[0, s] = dgi_s
-        dgh_ref[0, s] = dgh_s
+            dgh_s, w_ref[s].astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dgi_ref[0, s] = dgi_s.astype(dgi_ref.dtype)
+        dgh_ref[0, s] = dgh_s.astype(dgh_ref.dtype)
         dh_scr[s] = dh_prev
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
-        dh0_ref[:] = dh_scr[:]
+        dh0_ref[:] = dh_scr[:].astype(dh0_ref.dtype)
 
 
 def _time_specs(t, s, r, width, reverse):
@@ -130,7 +142,7 @@ def _gru_seq_fwd_impl(gi, w_hh, b_hh, h0, reverse: bool, interpret: bool):
                   _full_spec(), _full_spec(), _full_spec()],
         out_specs=_time_specs(t, s, r, h_dim, reverse),
         out_shape=jax.ShapeDtypeStruct((t, s, r, h_dim), gi.dtype),
-        scratch_shapes=[pltpu.VMEM((s, r, h_dim), gi.dtype)],
+        scratch_shapes=[pltpu.VMEM((s, r, h_dim), jnp.float32)],
         interpret=interpret,
     )(gi, w_hh, b_hh, h0)
 
@@ -154,7 +166,7 @@ def _gru_seq_bwd_impl(gi, hprev, g, w_hh, b_hh, reverse: bool, interpret: bool):
         out_shape=(jax.ShapeDtypeStruct((t, s, r, g3), gi.dtype),
                    jax.ShapeDtypeStruct((t, s, r, g3), gi.dtype),
                    jax.ShapeDtypeStruct((s, r, h_dim), gi.dtype)),
-        scratch_shapes=[pltpu.VMEM((s, r, h_dim), gi.dtype)],
+        scratch_shapes=[pltpu.VMEM((s, r, h_dim), jnp.float32)],
         interpret=interpret,
     )(gi, hprev, g, w_hh, b_hh)
     return dgi, dgh, dh0

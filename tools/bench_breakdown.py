@@ -57,7 +57,8 @@ def build(args):
         message_geometry_to_objects=True, message_segment=True,
         message_type="v2", message_granularity="v1", message_aggregation="att",
         attention_style="v3", discrete_optimization_strategy="gs",
-        object_segment_update_strategy="ind", compute_dtype=args.compute_dtype)
+        object_segment_update_strategy="ind", compute_dtype=args.compute_dtype,
+        use_pallas_gru=args.use_pallas_gru)
     params = model.init(jax.random.PRNGKey(0))
     optimizer = optax.adam(1e-4)
 
@@ -87,6 +88,7 @@ def main():
     parser.add_argument("--t", type=int, default=167)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--compute_dtype", default="float32")
+    parser.add_argument("--use_pallas_gru", action="store_true")
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()
 
@@ -177,6 +179,7 @@ def main():
 
     results["config"] = {"steps": k, "batch": b, "t": args.t,
                          "compute_dtype": args.compute_dtype,
+                         "use_pallas_gru": args.use_pallas_gru,
                          "device": str(jax.devices()[0])}
     if args.json:
         print(json.dumps(results))
