@@ -99,7 +99,9 @@ def test_bf16_carry_streaming_path(pair):
     cfg_stream = TGGCNConfig(compute_dtype="bfloat16",
                              geometry_flatten="per_frame", **BASE_KW)
     r16 = StreamingRunner(params, cfg_stream, window=6, lookahead=4,
-                          rng=jax.random.PRNGKey(42))
-    out = r16.run(x_human, x_objects, mask)
+                          rng=jax.random.PRNGKey(42), fuse_group=4)
+    # Tile to t=32 so the fused window-group path runs under bf16 too.
+    out = r16.run(np.tile(x_human, (1, 2, 1, 1)),
+                  np.tile(x_objects, (1, 2, 1, 1)), mask)
     assert all(np.asarray(o).dtype == np.float32 for o in out)
     assert all(np.isfinite(np.asarray(o)).all() for o in out)

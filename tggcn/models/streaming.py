@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tggcn.models.tggcn import TGGCNConfig, apply_tggcn
+from tggcn.models.tggcn import TGGCNConfig, _work_dtype, apply_tggcn
 
 
 class StreamingRunner:
@@ -65,6 +65,9 @@ class StreamingRunner:
 
     def _zero_carry(self, b, num_humans, num_objects, dtype):
         h = self.cfg.hidden_size
+        # The model emits carries in its compute dtype; the fused lax.scan
+        # needs the initial carry to match it exactly.
+        dtype = _work_dtype(self.cfg) or dtype
         z = lambda e: jnp.zeros((b, e, h), dtype=dtype)
         return {"frame_human": z(num_humans), "frame_object": z(num_objects),
                 "frame_geometry": z(1), "seg_human": z(num_humans),

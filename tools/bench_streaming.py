@@ -28,6 +28,8 @@ def main():
     parser.add_argument("--fuse_group", type=int, default=16,
                         help="Interior windows fused per device dispatch "
                              "(1 = the per-window path).")
+    parser.add_argument("--compute_dtype", default="float32")
+    parser.add_argument("--use_pallas_gru", action="store_true")
     args = parser.parse_args()
 
     import jax
@@ -42,7 +44,8 @@ def main():
         message_geometry_to_objects=True, message_segment=True,
         message_type="v2", message_granularity="v1", message_aggregation="att",
         attention_style="v3", discrete_optimization_strategy="st",
-        object_segment_update_strategy="ind", geometry_flatten="per_frame")
+        object_segment_update_strategy="ind", geometry_flatten="per_frame",
+        compute_dtype=args.compute_dtype, use_pallas_gru=args.use_pallas_gru)
     params = init_tggcn(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     t, num_humans, num_objects = args.frames, 2, 4
