@@ -207,3 +207,22 @@ def test_kill_and_resume_reproduces_run(tmp_path):
     for a, b in zip(flat_full, flat_resumed):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_train_bf16_compute_dtype_e2e(tmp_path):
+    """train.py with parameters.compute_dtype=bfloat16: the knob flows from
+    the config override through select_model into the train step; master
+    parameters and losses stay float32."""
+    import train as train_cli
+
+    paths = generate_mphoi_dataset(str(tmp_path / "data"), num_videos=8,
+                                   min_len=20, max_len=32, seed=23)
+    overrides = _mphoi_overrides(paths, tmp_path)
+    overrides += ["optimization.epochs=1", "parameters.hidden_size=8",
+                  "parameters.compute_dtype=bfloat16"]
+    checkpoint = train_cli.main(overrides)
+    total, per_loss = checkpoint["train_losses"][-1]
+    assert np.isfinite(total) and np.isfinite(per_loss).all()
+    leaves = jax.tree_util.tree_leaves(checkpoint["model_state_dict"])
+    assert all(np.asarray(l).dtype in (np.float32, np.int64, np.int32)
+               for l in leaves)

@@ -89,9 +89,10 @@ class TGGCNConfig:
     # v5e at the MPHOI headline shape, hence on by default.
     remat_segment_scan: bool = True
     # lax.scan unroll factor for the recurrent scans (1 = no unrolling).
-    # Amortises per-iteration overhead on latency-bound recurrences;
-    # unroll=2 measured ~8% faster train steps on v5e.
-    scan_unroll: int = 2
+    # Amortises per-iteration overhead on latency-bound recurrences. Swept on
+    # v5e (bf16 + Pallas GRU headline): unroll 2 -> 27.4 ms/step, 4 -> 25.0,
+    # 8 -> 27.0; 4 is the sweet spot.
+    scan_unroll: int = 4
     # Route the GeoGCN block through the fused Pallas TPU kernel
     # (tggcn/ops/geo_gcn_pallas.py). Differentiable (custom VJP backed by the
     # XLA reference backward), so valid for training and inference on TPU;
