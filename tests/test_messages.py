@@ -185,3 +185,22 @@ def test_compute_message_matches_loop(message_type, granularity, aggregation, st
     else:
         # Relational and mean-pooling paths report no attention weights.
         assert att is None
+
+
+def test_masked_softmax_fully_masked_row_is_deterministic_zero():
+    """Regression: the old -inf + NaN-cleanup implementation produced
+    nondeterministic garbage for fully masked rows under XLA fast-math
+    (hit by h2h attention whenever there is a single human, i.e. CAD-120 /
+    Bimanual shapes). The finite form must return exact zeros."""
+    from tggcn.nn.messages import masked_softmax
+
+    s = jnp.asarray(np.random.default_rng(0).normal(size=(4, 2, 3)).astype(np.float32))
+    w = np.asarray(masked_softmax(s, jnp.zeros((4, 2, 3))))
+    assert (w == 0.0).all()
+    # Partially masked rows: plain softmax over the unmasked entries.
+    mask = np.array([[[1.0, 0.0, 1.0]]] * 4, np.float32)[:, [0], :].repeat(2, 1)
+    w = np.asarray(masked_softmax(s, jnp.asarray(mask)))
+    ref = np.exp(np.asarray(s)[..., [0, 2]])
+    ref = ref / ref.sum(-1, keepdims=True)
+    np.testing.assert_allclose(w[..., [0, 2]], ref, rtol=1e-6)
+    assert (w[..., 1] == 0.0).all()

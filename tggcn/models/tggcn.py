@@ -105,6 +105,13 @@ class TGGCNConfig:
     # Pallas kernels). TPU-only (use the XLA scan on CPU); best when
     # hidden_size is a multiple of 128.
     use_pallas_gru: bool = False
+    # Route the segment-level gated message-passing scan through the fused
+    # Pallas kernel (tggcn/ops/segment_scan_pallas.py): one VMEM-resident
+    # kernel step per direction instead of ~15 small XLA ops per scan step.
+    # Applies to non-relational generic configs with dot-product attention
+    # (v2/v3) and no distance tensors; other configs keep the XLA paths.
+    # Differentiable (custom VJP = the XLA fast path's gradients). TPU-only.
+    use_pallas_segment_scan: bool = False
     # Activation/compute precision of the heavy path (embedding MLPs, frame
     # BiGRUs, messages, segment scan). 'bfloat16' casts inputs and the
     # heavy-path parameters at apply entry — master parameters stay float32
@@ -605,7 +612,19 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
                                             human_object_distances,
                                             object_object_distances))
     seg_carry = (carry.get("seg_human"), carry.get("seg_object"))
-    if _fast_segment_scan_applicable(cfg, use_dists):
+    use_pallas_seg = False
+    if cfg.use_pallas_segment_scan:
+        from tggcn.ops.segment_scan_pallas import (
+            pallas_segment_scan_applicable,
+            run_segment_scan_pallas,
+        )
+
+        use_pallas_seg = pallas_segment_scan_applicable(cfg, use_dists)
+    if use_pallas_seg:
+        seg = run_segment_scan_pallas(params, cfg, x_hs, x_os, u_h_used,
+                                      u_o_used, objects_mask,
+                                      seg_carry=seg_carry)
+    elif _fast_segment_scan_applicable(cfg, use_dists):
         seg = _segment_scan_fast(params, cfg, x_hs, x_os, u_h_used, u_o_used,
                                  objects_mask, human_human_distances,
                                  human_object_distances, object_object_distances,
@@ -787,10 +806,10 @@ def _segment_scan_fast(params, cfg: TGGCNConfig, x_hs, x_os, u_h, u_o, objects_m
     eye_o = jnp.eye(num_objects, dtype=dtype)
     obj_mask_r = objects_mask[None, :, None, :]                                # (1,B,1,O)
 
-    def masked_softmax(scores, mask):
-        scores = jnp.where(mask.astype(bool), scores, -jnp.inf)
-        w = jax.nn.softmax(scores, axis=-1)
-        return jnp.where(jnp.isnan(w), 0.0, w)
+    # Finite masked softmax (tggcn.nn.messages): the -inf + NaN-cleanup
+    # pattern is nondeterministic under XLA fast-math on fully masked rows
+    # (e.g. h2h attention with a single human).
+    from tggcn.nn.messages import masked_softmax
 
     def edge_attention(recv, send, mask, edge, dists):
         """Attention weights (dir, B, R, S) for one edge, any style.

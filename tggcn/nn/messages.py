@@ -28,11 +28,23 @@ from tggcn.nn.mlp import apply_bilinear, apply_mlp
 
 
 def masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Softmax over the last axis with -inf masking and NaN->0 on empty rows."""
-    neg_inf = jnp.full_like(scores, -jnp.inf)
-    scores = jnp.where(mask.astype(bool), scores, neg_inf)
-    weights = jax.nn.softmax(scores, axis=-1)
-    return jnp.where(jnp.isnan(weights), 0.0, weights)
+    """Softmax over the last axis restricted to unmasked senders.
+
+    Fully masked rows yield all-zero weights. Implemented with a finite
+    big-negative fill, an explicit mask multiply and a clamped denominator
+    rather than -inf + NaN cleanup: softmax over an all--inf row produces
+    NaN via inf - inf, and XLA's fast-math exp lowering makes the "clean the
+    NaN afterwards" pattern NONDETERMINISTIC on fully-masked rows (observed
+    run-to-run garbage on CPU for single-human h2h attention). The finite
+    form is exactly equal on partially-masked rows and deterministic-zero on
+    empty rows (matching the reference's torch semantics either way).
+    """
+    maskf = jnp.broadcast_to(mask, scores.shape).astype(scores.dtype)
+    scores = jnp.where(maskf > 0, scores, -1e30)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m) * maskf
+    d = jnp.sum(e, axis=-1, keepdims=True)
+    return e / jnp.maximum(d, 1e-30)
 
 
 def attention_weights(query: jnp.ndarray, keys: jnp.ndarray, keys_mask: jnp.ndarray,
@@ -66,12 +78,9 @@ def distance_based_attention_weights(distances: jnp.ndarray, senders_mask: jnp.n
     the softmax; fully-masked rows yield zeros.
     """
     distance_mask = distances != 0  # NaN compares != 0 -> stays (matches torch .bool())
-    neg_inf = jnp.full_like(distances, -jnp.inf)
     inv = 1.0 / (distances + 1e-7)
-    inv = jnp.where(senders_mask.astype(bool), inv, neg_inf)
-    inv = jnp.where(distance_mask, inv, neg_inf)
-    weights = jax.nn.softmax(inv, axis=-1)
-    return jnp.where(jnp.isnan(weights), 0.0, weights)
+    combined = senders_mask.astype(bool) & distance_mask
+    return masked_softmax(inv, combined)
 
 
 def _pairs(receivers: jnp.ndarray, senders: jnp.ndarray) -> jnp.ndarray:

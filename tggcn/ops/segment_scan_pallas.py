@@ -1,0 +1,327 @@
+"""Fused Pallas TPU kernel for the segment-level gated message-passing scan.
+
+The segment level is the model's hot sequential core: per time step it runs
+4 message projections, 4 attention softmaxes, 2 message-gate matmuls and a
+4-cell gated GRU update (tggcn/models/tggcn.py::_segment_scan_fast — itself
+a batched rewrite of the reference's paired Python loop,
+vhoi/models.py:785-880). Under XLA that is ~15 small HBM-roundtripping ops
+per step x T steps x 2 directions. This kernel runs ONE direction's whole
+step in VMEM: the recurrent states stay resident across all T grid steps,
+every weight is loaded once, and per-step HBM traffic is just the
+precomputed base-gate block in and the state block out.
+
+Scope (the headline configuration): non-relational generic messages on all
+four entity edges, dot-product attention (v2 / scaled v3), no distance
+tensors. Other configurations keep the XLA paths.
+
+Training: custom VJP in the geo_gcn_pallas.py style — the backward is the
+VJP of the numerically identical XLA fast path (recompute), so the kernel
+accelerates the forward scan (and inference/streaming end-to-end) while
+gradients remain exactly the XLA path's.
+
+Layout per direction (time-major):
+  gi_h (T, B, H, 3h)  base input gates (x_hs @ w_ih[:base] + b, hoisted out)
+  gi_o (T, B, O, 3h)
+  u_h  (T, B, H)      commit decisions
+  u_o  (T, B, O)
+  w_from (4, h, h)    message projections [h2h, h2o, o2h, o2o]
+  b_from (4, h)
+  w_msg_h/o (2h, 3h)  message -> gate projections of the two cells
+  w_hh_h/o (h, 3h), b_hh_h/o (3h)
+  masks: mask_hh (H, H) = 1-eye, mask_obj (B, O), eye_oo (O, O) = 1-eye
+  h0_h (B, H, h), h0_o (B, O, h)
+  -> h_h_seq (T, B, H, h), h_o_seq (T, B, O, h), att_oh (T, B, H, O)
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(scale: float):
+    def kernel(gi_h_ref, gi_o_ref, u_h_ref, u_o_ref,
+               w_from_ref, b_from_ref, w_msg_h_ref, w_msg_o_ref,
+               w_hh_h_ref, w_hh_o_ref, b_hh_h_ref, b_hh_o_ref,
+               mask_hh_ref, mask_obj_ref, eye_oo_ref,
+               h0_h_ref, h0_o_ref,
+               out_h_ref, out_o_ref, att_ref,
+               scr_h, scr_o):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            scr_h[:] = h0_h_ref[:].astype(jnp.float32)
+            scr_o[:] = h0_o_ref[:].astype(jnp.float32)
+
+        h_h = scr_h[:]                               # (B, H, h) float32
+        h_o = scr_o[:]                               # (B, O, h)
+        b, nh, hd = h_h.shape
+        no = h_o.shape[1]
+        f32 = jnp.float32
+
+        def relu_proj(x, idx):
+            rows = x.shape[0] * x.shape[1]
+            y = jnp.dot(x.reshape(rows, hd), w_from_ref[idx].astype(f32),
+                        preferred_element_type=f32) + b_from_ref[idx].astype(f32)
+            return jnp.maximum(y, 0.0).reshape(x.shape)
+
+        # Messages from each sender's carried state (reference semantics:
+        # every message reads the state committed through the previous step).
+        m_hh = relu_proj(h_h, 0)
+        m_ho = relu_proj(h_h, 1)
+        m_oh = relu_proj(h_o, 2)
+        m_oo = relu_proj(h_o, 3)
+
+        def scores(recv, send):
+            s = jax.lax.dot_general(
+                recv, send, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32)
+            return s * scale
+
+        def msoftmax(s, mask):
+            # Masked softmax matching tggcn masked_softmax: fully masked rows
+            # produce all-zero weights (-inf scores -> NaN -> 0 upstream).
+            mask = jnp.broadcast_to(mask, s.shape).astype(f32)
+            s = jnp.where(mask > 0, s, -1e30)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m) * mask
+            d = jnp.sum(e, axis=-1, keepdims=True)
+            return e / jnp.maximum(d, 1e-30)
+
+        mask_obj = mask_obj_ref[:].astype(f32)[:, None, :]       # (B, 1, O)
+        a_hh = msoftmax(scores(h_h, h_h), mask_hh_ref[:].astype(f32)[None])
+        a_oh = msoftmax(scores(h_h, h_o), mask_obj)
+        a_ho = msoftmax(scores(h_o, h_h), jnp.ones((1, 1, nh), f32))
+        a_oo = msoftmax(scores(h_o, h_o),
+                        mask_obj * eye_oo_ref[:].astype(f32)[None])
+
+        def mix(att, msg):
+            return jax.lax.dot_general(
+                att, msg, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32)
+
+        msgs_h = jnp.concatenate([mix(a_hh, m_hh), mix(a_oh, m_oh)], axis=-1)
+        msgs_o = jnp.concatenate([mix(a_ho, m_ho), mix(a_oo, m_oo)], axis=-1)
+
+        def cell(gi_base, msgs, u, h_prev, w_msg_ref, w_hh_ref, b_hh_ref):
+            rows = h_prev.shape[0] * h_prev.shape[1]
+            gi = (gi_base[0].astype(f32)
+                  + jnp.dot(msgs.reshape(rows, 2 * hd),
+                            w_msg_ref[:].astype(f32),
+                            preferred_element_type=f32).reshape(gi_base.shape[1:]))
+            gh = (jnp.dot(h_prev.reshape(rows, hd), w_hh_ref[:].astype(f32),
+                          preferred_element_type=f32).reshape(gi.shape)
+                  + b_hh_ref[:].astype(f32))
+            r = jax.nn.sigmoid(gi[..., :hd] + gh[..., :hd])
+            z = jax.nn.sigmoid(gi[..., hd:2 * hd] + gh[..., hd:2 * hd])
+            n = jnp.tanh(gi[..., 2 * hd:] + r * gh[..., 2 * hd:])
+            h_new = (1.0 - z) * n + z * h_prev
+            uu = u[0].astype(f32)[..., None]
+            return uu * h_new + (1.0 - uu) * h_prev
+
+        h_h_out = cell(gi_h_ref[:], msgs_h, u_h_ref[:], h_h,
+                       w_msg_h_ref, w_hh_h_ref, b_hh_h_ref)
+        h_o_out = cell(gi_o_ref[:], msgs_o, u_o_ref[:], h_o,
+                       w_msg_o_ref, w_hh_o_ref, b_hh_o_ref)
+
+        scr_h[:] = h_h_out
+        scr_o[:] = h_o_out
+        out_h_ref[0] = h_h_out.astype(out_h_ref.dtype)
+        out_o_ref[0] = h_o_out.astype(out_o_ref.dtype)
+        att_ref[0] = a_oh.astype(att_ref.dtype)
+
+    return kernel
+
+
+def _tspec(t, shape, reverse):
+    """Block over time: one (1, *shape) block per grid step, natural or
+    reversed visit order (block-index convention)."""
+    zeros = (0,) * len(shape)
+    if reverse:
+        index_map = lambda i: (t - 1 - i, *zeros)
+    else:
+        index_map = lambda i: (i, *zeros)
+    return pl.BlockSpec((1, *shape), index_map, memory_space=pltpu.VMEM)
+
+
+def _full():
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "reverse", "interpret"))
+def _seg_dir_pallas(gi_h, gi_o, u_h, u_o, w_from, b_from, w_msg_h, w_msg_o,
+                    w_hh_h, w_hh_o, b_hh_h, b_hh_o, mask_hh, mask_obj, eye_oo,
+                    h0_h, h0_o, scale: float, reverse: bool, interpret: bool):
+    t, b, nh, g3 = gi_h.shape
+    no = gi_o.shape[2]
+    hd = g3 // 3
+    dtype = gi_h.dtype
+    out_h, out_o, att = pl.pallas_call(
+        _make_kernel(scale),
+        grid=(t,),
+        in_specs=[_tspec(t, (b, nh, g3), reverse), _tspec(t, (b, no, g3), reverse),
+                  _tspec(t, (b, nh), reverse), _tspec(t, (b, no), reverse),
+                  _full(), _full(), _full(), _full(), _full(), _full(),
+                  _full(), _full(), _full(), _full(), _full(), _full(), _full()],
+        out_specs=(_tspec(t, (b, nh, hd), reverse),
+                   _tspec(t, (b, no, hd), reverse),
+                   _tspec(t, (b, nh, no), reverse)),
+        out_shape=(jax.ShapeDtypeStruct((t, b, nh, hd), dtype),
+                   jax.ShapeDtypeStruct((t, b, no, hd), dtype),
+                   jax.ShapeDtypeStruct((t, b, nh, no), dtype)),
+        scratch_shapes=[pltpu.VMEM((b, nh, hd), jnp.float32),
+                        pltpu.VMEM((b, no, hd), jnp.float32)],
+        interpret=interpret,
+    )(gi_h, gi_o, u_h, u_o, w_from, b_from, w_msg_h, w_msg_o,
+      w_hh_h, w_hh_o, b_hh_h, b_hh_o, mask_hh, mask_obj, eye_oo, h0_h, h0_o)
+    return out_h, out_o, att
+
+
+def _collect(params, cfg, dtype):
+    """Stack the segment-scan weights in kernel layout."""
+    import math as _math
+
+    h = cfg.hidden_size
+    z3 = jnp.zeros((3 * h,), dtype)
+    zh = jnp.zeros((h,), dtype)
+
+    def msg_layer(edge):
+        layer = params[edge]["segment"]["msg"]["layers"][0]
+        return layer["w"], layer.get("b", zh)
+
+    w_from = jnp.stack([msg_layer(e)[0] for e in ("h2h", "h2o", "o2h", "o2o")])
+    b_from = jnp.stack([msg_layer(e)[1] for e in ("h2h", "h2o", "o2h", "o2o")])
+
+    def cell(name, base_dim):
+        p = params[name]
+        return (p["w_ih"][base_dim:], p["w_hh"], p.get("b_hh", z3))
+
+    scale = 1.0 / _math.sqrt(h) if cfg.attention_style in {
+        "v3", "scaled_dot-product"} else 1.0
+    return w_from, b_from, cell, scale
+
+
+def pallas_segment_scan_applicable(cfg, use_dists: bool) -> bool:
+    from tggcn.models.tggcn import _fast_segment_scan_applicable
+
+    return (_fast_segment_scan_applicable(cfg, use_dists)
+            and not use_dists
+            and cfg.attention
+            and cfg.attention_style in {"v2", "dot-product",
+                                        "v3", "scaled_dot-product"})
+
+
+def _base_gates(params, cell_name, x):
+    w = params[cell_name]["w_ih"]
+    gi = x @ w[: x.shape[-1]]
+    if "b_ih" in params[cell_name]:
+        gi = gi + params[cell_name]["b_ih"]
+    return gi
+
+
+def _seg_fast_pallas_impl(cfg, interpret, seg_params, x_hs, x_os, u_h, u_o,
+                          objects_mask, seg_h0, seg_o0):
+    b, t, num_humans, base_h = x_hs.shape
+    num_objects, base_o = x_os.shape[2], x_os.shape[-1]
+    h = cfg.hidden_size
+    dtype = x_hs.dtype
+    w_from, b_from, cell, scale = _collect(seg_params, cfg, dtype)
+
+    tm = lambda a: jnp.moveaxis(a, 1, 0)
+    u_h_t, u_o_t = tm(u_h), tm(u_o)
+
+    mask_hh = 1.0 - jnp.eye(num_humans, dtype=dtype)
+    eye_oo = 1.0 - jnp.eye(num_objects, dtype=dtype)
+
+    def run_dir(direction):
+        fcell = "human_segment_rnn_fcell" if direction == "fwd" else "human_segment_rnn_bcell"
+        ocell = "object_segment_rnn_fcell" if direction == "fwd" else "object_segment_rnn_bcell"
+        w_msg_h, w_hh_h, b_hh_h = cell(fcell, base_h)
+        w_msg_o, w_hh_o, b_hh_o = cell(ocell, base_o)
+        gi_h = tm(_base_gates(seg_params, fcell, x_hs))
+        gi_o = tm(_base_gates(seg_params, ocell, x_os))
+        reverse = direction == "bwd"
+        if reverse:
+            h0_h = jnp.zeros((b, num_humans, h), dtype)
+            h0_o = jnp.zeros((b, num_objects, h), dtype)
+        else:
+            h0_h = seg_h0.astype(dtype)
+            h0_o = seg_o0.astype(dtype)
+        return _seg_dir_pallas(gi_h, gi_o, u_h_t, u_o_t, w_from, b_from,
+                               w_msg_h, w_msg_o, w_hh_h, w_hh_o, b_hh_h, b_hh_o,
+                               mask_hh, objects_mask.astype(dtype), eye_oo,
+                               h0_h, h0_o, scale=float(scale), reverse=reverse,
+                               interpret=interpret)
+
+    hf_h, hf_o, att_f = run_dir("fwd")
+    hb_h, hb_o, att_b = run_dir("bwd")
+
+    def order(f, bwd):
+        return jnp.concatenate([jnp.moveaxis(f, 0, 1), jnp.moveaxis(bwd, 0, 1)],
+                               axis=-1)
+
+    hx_hs = order(hf_h, hb_h)                          # (B, T, H, 2h)
+    hx_os = order(hf_o, hb_o)
+    return hx_hs, hx_os, jnp.moveaxis(att_f, 0, 1), jnp.moveaxis(att_b, 0, 1)
+
+
+def _seg_fast_xla(cfg, seg_params, x_hs, x_os, u_h, u_o, objects_mask,
+                  seg_h0, seg_o0):
+    from tggcn.models.tggcn import _segment_scan_fast
+
+    return _segment_scan_fast(seg_params, cfg, x_hs, x_os, u_h, u_o,
+                              objects_mask, None, None, None,
+                              seg_carry=(seg_h0, seg_o0))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def segment_scan_fast_pallas(cfg, interpret, seg_params, x_hs, x_os, u_h, u_o,
+                             objects_mask, seg_h0, seg_o0):
+    """Differentiable fused segment scan: Pallas forward, XLA-fast-path VJP.
+
+    Semantics identical to _segment_scan_fast (equivalence-tested); the
+    backward recomputes through the XLA path, so training gradients are
+    bit-for-bit the XLA fast path's while forward/inference runs the fused
+    kernel.
+    """
+    return _seg_fast_pallas_impl(cfg, interpret, seg_params, x_hs, x_os,
+                                 u_h, u_o, objects_mask, seg_h0, seg_o0)
+
+
+def _seg_fwd(cfg, interpret, seg_params, x_hs, x_os, u_h, u_o, objects_mask,
+             seg_h0, seg_o0):
+    out = _seg_fast_pallas_impl(cfg, interpret, seg_params, x_hs, x_os,
+                                u_h, u_o, objects_mask, seg_h0, seg_o0)
+    return out, (seg_params, x_hs, x_os, u_h, u_o, objects_mask, seg_h0, seg_o0)
+
+
+def _seg_bwd(cfg, interpret, residuals, g):
+    _, vjp = jax.vjp(lambda *a: _seg_fast_xla(cfg, *a), *residuals)
+    return vjp(g)
+
+
+segment_scan_fast_pallas.defvjp(_seg_fwd, _seg_bwd)
+
+
+SEG_PARAM_KEYS = ("human_segment_rnn_fcell", "human_segment_rnn_bcell",
+                  "object_segment_rnn_fcell", "object_segment_rnn_bcell",
+                  "h2h", "h2o", "o2h", "o2o")
+
+
+def run_segment_scan_pallas(params, cfg, x_hs, x_os, u_h, u_o, objects_mask,
+                            seg_carry=(None, None), interpret: bool = False):
+    """apply_tggcn-facing wrapper: filters the segment-relevant parameters
+    (so the custom VJP's cotangent covers exactly them) and materialises the
+    zero carries."""
+    b = x_hs.shape[0]
+    h = cfg.hidden_size
+    dtype = x_hs.dtype
+    seg_params = {k: params[k] for k in SEG_PARAM_KEYS}
+    seg_h0, seg_o0 = seg_carry
+    if seg_h0 is None:
+        seg_h0 = jnp.zeros((b, x_hs.shape[2], h), dtype)
+    if seg_o0 is None:
+        seg_o0 = jnp.zeros((b, x_os.shape[2], h), dtype)
+    return segment_scan_fast_pallas(cfg, interpret, seg_params, x_hs, x_os,
+                                    u_h, u_o, objects_mask, seg_h0, seg_o0)
