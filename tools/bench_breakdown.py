@@ -58,7 +58,8 @@ def build(args):
         message_type="v2", message_granularity="v1", message_aggregation="att",
         attention_style="v3", discrete_optimization_strategy="gs",
         object_segment_update_strategy="ind", compute_dtype=args.compute_dtype,
-        use_pallas_gru=args.use_pallas_gru, scan_unroll=args.scan_unroll)
+        use_pallas_gru=args.use_pallas_gru, scan_unroll=args.scan_unroll,
+        use_pallas_segment_scan=args.use_pallas_segment_scan)
     params = model.init(jax.random.PRNGKey(0))
     optimizer = optax.adam(1e-4)
 
@@ -89,7 +90,8 @@ def main():
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--compute_dtype", default="float32")
     parser.add_argument("--use_pallas_gru", action="store_true")
-    parser.add_argument("--scan_unroll", type=int, default=2)
+    parser.add_argument("--scan_unroll", type=int, default=4)
+    parser.add_argument("--use_pallas_segment_scan", action="store_true")
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()
 
@@ -181,6 +183,7 @@ def main():
     results["config"] = {"steps": k, "batch": b, "t": args.t,
                          "compute_dtype": args.compute_dtype,
                          "use_pallas_gru": args.use_pallas_gru,
+                         "use_pallas_segment_scan": args.use_pallas_segment_scan,
                          "device": str(jax.devices()[0])}
     if args.json:
         print(json.dumps(results))

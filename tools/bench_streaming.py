@@ -30,6 +30,7 @@ def main():
                              "(1 = the per-window path).")
     parser.add_argument("--compute_dtype", default="float32")
     parser.add_argument("--use_pallas_gru", action="store_true")
+    parser.add_argument("--use_pallas_segment_scan", action="store_true")
     args = parser.parse_args()
 
     import jax
@@ -45,7 +46,8 @@ def main():
         message_type="v2", message_granularity="v1", message_aggregation="att",
         attention_style="v3", discrete_optimization_strategy="st",
         object_segment_update_strategy="ind", geometry_flatten="per_frame",
-        compute_dtype=args.compute_dtype, use_pallas_gru=args.use_pallas_gru)
+        compute_dtype=args.compute_dtype, use_pallas_gru=args.use_pallas_gru,
+        use_pallas_segment_scan=args.use_pallas_segment_scan)
     params = init_tggcn(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     t, num_humans, num_objects = args.frames, 2, 4
