@@ -226,3 +226,34 @@ def test_train_bf16_compute_dtype_e2e(tmp_path):
     leaves = jax.tree_util.tree_leaves(checkpoint["model_state_dict"])
     assert all(np.asarray(l).dtype in (np.float32, np.int64, np.int32)
                for l in leaves)
+
+
+def test_train_orbax_backend_and_predict(tmp_path):
+    """logging.checkpoint_backend=orbax stores the parameter pytree through
+    orbax with a pickle sidecar for run metadata; predict.py loads the run
+    dir transparently."""
+    import predict as predict_cli
+    import train as train_cli
+
+    paths = generate_mphoi_dataset(str(tmp_path / "data"), num_videos=8,
+                                   min_len=24, max_len=42, seed=31)
+    overrides = _mphoi_overrides(paths, tmp_path)
+    overrides += ["optimization.epochs=1", "parameters.hidden_size=8",
+                  "logging.checkpoint_backend=orbax"]
+    checkpoint = train_cli.main(overrides)
+    assert "model_state_dict" in checkpoint
+    run_dir = os.path.join(str(tmp_path), "outputs", "mphoi", "2G-GCN",
+                           "hs8_e1_bs2_lr0.0001_0.5_Subject45")
+    name = os.path.basename(run_dir)
+    assert os.path.isdir(os.path.join(run_dir, name + ".orbax"))
+    # The pickle sidecar must NOT contain the parameter pytree itself.
+    import pickle
+    with open(os.path.join(run_dir, name + ".ckpt"), "rb") as f:
+        sidecar = pickle.load(f)
+    assert "model_state_dict" not in sidecar
+    assert sidecar["__orbax_model__"] == name + ".orbax"
+
+    outputs, targets, test_ids = predict_cli.predict(run_dir)
+    y = outputs["sub-activity_recognition"]
+    assert y.shape == targets["sub-activity_recognition"].shape
+    assert len(test_ids) == y.shape[0]

@@ -28,23 +28,46 @@ def _to_numpy(tree):
 
 
 def save_checkpoint(log_dir: str, checkpoint: dict, checkpoint_name: Optional[str] = None,
-                    include_timestamp: bool = False) -> str:
-    """Save the final run checkpoint (reference save_checkpoint, train_utils.py:235-253)."""
+                    include_timestamp: bool = False, backend: str = "pickle") -> str:
+    """Save the final run checkpoint (reference save_checkpoint, train_utils.py:235-253).
+
+    backend='orbax' stores the model parameter pytree through orbax (the
+    idiomatic JAX array-checkpoint layout: async-capable, multi-host-safe)
+    in a ``<name>.orbax`` directory next to the ``.ckpt``, which then holds
+    the non-array run metadata (losses, scalers, epoch) plus a pointer.
+    ``load_checkpoint`` reassembles either layout transparently, so
+    predict.py and warm starts work identically with both backends.
+    """
     file_save_name = checkpoint_name if checkpoint_name is not None else "checkpoint"
     if include_timestamp:
         file_save_name = datetime.utcnow().strftime("%Y_%m_%d_%H_%M_%S") + "_" + file_save_name
-    file_save_name += ".ckpt"
     os.makedirs(log_dir, exist_ok=True)
-    path = os.path.join(log_dir, file_save_name)
+    path = os.path.join(log_dir, file_save_name + ".ckpt")
+    checkpoint = _to_numpy(checkpoint)
+    if backend == "orbax" and "model_state_dict" in checkpoint:
+        orbax_name = file_save_name + ".orbax"
+        save_params_orbax(os.path.join(log_dir, orbax_name),
+                          checkpoint["model_state_dict"])
+        checkpoint = dict(checkpoint)
+        del checkpoint["model_state_dict"]
+        checkpoint["__orbax_model__"] = orbax_name
+    elif backend != "pickle":
+        raise ValueError(f"Unknown checkpoint backend {backend!r} "
+                         "(expected 'pickle' or 'orbax')")
     with open(path, "wb") as f:
-        pickle.dump(_to_numpy(checkpoint), f)
+        pickle.dump(checkpoint, f)
     print(f"log files written to {path}")
     return path
 
 
 def load_checkpoint(path: str) -> dict:
     with open(path, "rb") as f:
-        return pickle.load(f)
+        checkpoint = pickle.load(f)
+    orbax_name = checkpoint.pop("__orbax_model__", None)
+    if orbax_name is not None:
+        checkpoint["model_state_dict"] = load_params_orbax(
+            os.path.join(os.path.dirname(path), orbax_name))
+    return checkpoint
 
 
 def save_last(log_dir: str, state: dict) -> str:

@@ -155,7 +155,8 @@ def main(argv=None):
     if log_dir is not None:
         checkpoint["scalers"] = scalers
         save_checkpoint(log_dir, checkpoint, checkpoint_name=checkpoint_name,
-                        include_timestamp=False)
+                        include_timestamp=False,
+                        backend=cfg.logging.get("checkpoint_backend", "pickle"))
     return checkpoint
 
 
