@@ -52,11 +52,14 @@ def main():
         attention_style="v3", discrete_optimization_strategy="gs",
         object_segment_update_strategy="ind",
         # TPU-idiomatic training mode: bf16 activations with float32 master
-        # weights/heads/losses (deviation bounds pinned by tests/test_bf16.py)
-        # and the VMEM-resident Pallas GRU-sequence kernel (gradient-
-        # equivalence-tested vs the XLA scan, tests/test_gru_pallas.py).
-        # Full lever matrix (f32/bf16/pallas): BASELINE.md round-2 table.
-        compute_dtype="bfloat16", use_pallas_gru=True)
+        # weights/heads/losses (deviation bounds pinned by tests/test_bf16.py),
+        # the VMEM-resident Pallas GRU-sequence kernel (gradient-equivalence-
+        # tested, tests/test_gru_pallas.py), and the fused Pallas segment-scan
+        # kernel with its hand-written Pallas backward (gradient-equivalence-
+        # tested, tests/test_segment_scan_pallas.py).
+        # Full lever matrix (f32/bf16/kernels): BASELINE.md round-2 table.
+        compute_dtype="bfloat16", use_pallas_gru=True,
+        use_pallas_segment_scan=True)
     params = model.init(jax.random.PRNGKey(0))
     optimizer = optax.adam(1e-4)
 

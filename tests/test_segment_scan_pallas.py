@@ -134,3 +134,62 @@ def test_model_flag_routes_through_kernel(monkeypatch):
                                     aux_ker["attention_scores"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-5, err_msg=f"att {i}")
+
+
+def test_kernel_vjp_gradients_match_xla():
+    """The hand-written Pallas backward (vjp_mode='kernel': reverse-time
+    sweep in VMEM, weight grads reduced outside) must reproduce the XLA fast
+    path's gradients for every input: weights, x, u (the STE path), the
+    object mask slot, and the carried states."""
+    cfg = _cfg()
+    params = init_tggcn(jax.random.PRNGKey(4), cfg)
+    x_hs, x_os, u_h, u_o, mask = _seg_inputs(cfg, seed=9)
+    k = jax.random.PRNGKey(13)
+    h0_h = jax.random.normal(k, (2, 2, cfg.hidden_size))
+    h0_o = jax.random.normal(jax.random.fold_in(k, 1), (2, 3, cfg.hidden_size))
+    seg_params = {k_: params[k_] for k_ in ssp.SEG_PARAM_KEYS}
+    cot = [jax.random.normal(jax.random.fold_in(k, i), s) for i, s in
+           enumerate([(2, 6, 2, 16), (2, 6, 3, 16), (2, 6, 2, 3), (2, 6, 2, 3)])]
+
+    def loss(fn_kwargs, sp, xh, xo, uh, uo, hh, ho):
+        out = ssp.run_segment_scan_pallas(
+            {**params, **sp}, cfg, xh, xo, uh, uo, mask,
+            seg_carry=(hh, ho), interpret=True, **fn_kwargs)
+        return sum(jnp.sum(o * c) for o, c in zip(out, cot))
+
+    args = (seg_params, jnp.asarray(x_hs), jnp.asarray(x_os),
+            jnp.asarray(u_h), jnp.asarray(u_o), h0_h, h0_o)
+    vk, gk = jax.value_and_grad(
+        lambda *a: loss({"vjp_mode": "kernel"}, *a),
+        argnums=tuple(range(7)))(*args)
+    vx, gx = jax.value_and_grad(
+        lambda *a: loss({"vjp_mode": "xla"}, *a),
+        argnums=tuple(range(7)))(*args)
+    np.testing.assert_allclose(float(vk), float(vx), rtol=1e-5)
+    leaves_k = jax.tree_util.tree_leaves(gk)
+    leaves_x = jax.tree_util.tree_leaves(gx)
+    assert len(leaves_k) == len(leaves_x)
+    for i, (a, b_) in enumerate(zip(leaves_k, leaves_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=1e-5,
+                                   err_msg=f"grad leaf {i}")
+
+
+def test_kernel_vjp_single_human_and_masked_objects():
+    """Kernel VJP with a fully-masked h2h attention row (H=1) and a masked
+    object — the zero-weight rows must contribute exactly zero gradient."""
+    cfg = _cfg(num_humans=1)
+    params = init_tggcn(jax.random.PRNGKey(5), cfg)
+    x_hs, x_os, u_h, u_o, mask = _seg_inputs(cfg, num_humans=1, seed=10)
+
+    def loss(mode, xh):
+        out = ssp.run_segment_scan_pallas(params, cfg, xh, x_os, u_h, u_o,
+                                          mask, interpret=True, vjp_mode=mode)
+        return jnp.sum(out[0] ** 2) + jnp.sum(out[1] ** 2)
+
+    xh = jnp.asarray(x_hs)
+    vk, gk = jax.value_and_grad(lambda a: loss("kernel", a))(xh)
+    vx, gx = jax.value_and_grad(lambda a: loss("xla", a))(xh)
+    np.testing.assert_allclose(float(vk), float(vx), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gx),
+                               rtol=5e-4, atol=1e-5)

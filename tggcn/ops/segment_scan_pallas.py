@@ -60,9 +60,11 @@ def _make_kernel(scale: float):
         no = h_o.shape[1]
         f32 = jnp.float32
 
+        wdt = w_from_ref.dtype
+
         def relu_proj(x, idx):
             rows = x.shape[0] * x.shape[1]
-            y = jnp.dot(x.reshape(rows, hd), w_from_ref[idx].astype(f32),
+            y = jnp.dot(x.reshape(rows, hd).astype(wdt), w_from_ref[idx],
                         preferred_element_type=f32) + b_from_ref[idx].astype(f32)
             return jnp.maximum(y, 0.0).reshape(x.shape)
 
@@ -107,10 +109,10 @@ def _make_kernel(scale: float):
         def cell(gi_base, msgs, u, h_prev, w_msg_ref, w_hh_ref, b_hh_ref):
             rows = h_prev.shape[0] * h_prev.shape[1]
             gi = (gi_base[0].astype(f32)
-                  + jnp.dot(msgs.reshape(rows, 2 * hd),
-                            w_msg_ref[:].astype(f32),
+                  + jnp.dot(msgs.reshape(rows, 2 * hd).astype(wdt),
+                            w_msg_ref[:],
                             preferred_element_type=f32).reshape(gi_base.shape[1:]))
-            gh = (jnp.dot(h_prev.reshape(rows, hd), w_hh_ref[:].astype(f32),
+            gh = (jnp.dot(h_prev.reshape(rows, hd).astype(wdt), w_hh_ref[:],
                           preferred_element_type=f32).reshape(gi.shape)
                   + b_hh_ref[:].astype(f32))
             r = jax.nn.sigmoid(gi[..., :hd] + gh[..., :hd])
@@ -172,10 +174,345 @@ def _seg_dir_pallas(gi_h, gi_o, u_h, u_o, w_from, b_from, w_msg_h, w_msg_o,
                    jax.ShapeDtypeStruct((t, b, nh, no), dtype)),
         scratch_shapes=[pltpu.VMEM((b, nh, hd), jnp.float32),
                         pltpu.VMEM((b, no, hd), jnp.float32)],
+        # The step touches every weight once -> the default 16 MB scoped-vmem
+        # budget under-provisions the pipeline's buffers; v5e has headroom.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(gi_h, gi_o, u_h, u_o, w_from, b_from, w_msg_h, w_msg_o,
       w_hh_h, w_hh_o, b_hh_h, b_hh_o, mask_hh, mask_obj, eye_oo, h0_h, h0_o)
     return out_h, out_o, att
+
+
+def _make_bwd_kernel(scale: float):
+    """Reverse-time backward step: recompute messages/attention/gates from
+    the streamed h_prev, push dL/dh one step back, emit the per-step grads
+    whose weight reductions happen outside as large MXU einsums.
+
+    Emitted per step: dgi (input-gate grads, also the x_hs/x_os path), dgh
+    (recurrent pre-activation grads -> dW_hh), msgs (recomputed -> dW_msg),
+    dpre (message pre-relu grads -> dW_from/db_from), du (commit-decision
+    grads, the STE path).
+
+    VMEM discipline: every weight is read from its ref exactly ONCE (each
+    ref read materialises a stack copy — re-reading w_msg/w_hh at each use
+    blew the 16 MB scoped-vmem budget), tensor intermediates live in the IO
+    dtype (bfloat16 on TPU; the dot products still accumulate in float32),
+    and only the dL/dh carry is kept float32.
+    """
+    def kernel(gi_h_ref, gi_o_ref, u_h_ref, u_o_ref,
+               hprev_h_ref, hprev_o_ref, g_h_ref, g_o_ref, g_att_ref,
+               w_from_ref, b_from_ref, w_msg_h_ref, w_msg_o_ref,
+               w_hh_h_ref, w_hh_o_ref, b_hh_h_ref, b_hh_o_ref,
+               mask_hh_ref, mask_obj_ref, eye_oo_ref,
+               dgi_h_ref, dgi_o_ref, dgh_h_ref, dgh_o_ref,
+               msgs_h_ref, msgs_o_ref, dpre_h_ref, dpre_o_ref,
+               du_h_ref, du_o_ref, dh0_h_ref, dh0_o_ref,
+               dh_h_scr, dh_o_scr):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            dh_h_scr[:] = jnp.zeros_like(dh_h_scr)
+            dh_o_scr[:] = jnp.zeros_like(dh_o_scr)
+
+        f32 = jnp.float32
+        cdt = w_from_ref.dtype                       # compute dtype = IO dtype
+        h_h = hprev_h_ref[0].astype(cdt)             # (B, H, h)
+        h_o = hprev_o_ref[0].astype(cdt)             # (B, O, h)
+        b, nh, hd = h_h.shape
+        no = h_o.shape[1]
+
+        # Single stack copy per weight; reused at every site below.
+        wf = w_from_ref[:]
+        wmh = w_msg_h_ref[:]
+        wmo = w_msg_o_ref[:]
+        whh_h = w_hh_h_ref[:]
+        whh_o = w_hh_o_ref[:]
+
+        def rows(x):
+            return x.reshape(x.shape[0] * x.shape[1], x.shape[2])
+
+        def unrows(x, e):
+            return x.reshape(b, e, x.shape[-1])
+
+        def relu_proj(x, idx):
+            y = jnp.dot(rows(x), wf[idx], preferred_element_type=f32)
+            y = y + b_from_ref[idx].astype(f32)
+            return jnp.maximum(y, 0.0).astype(cdt).reshape(x.shape)
+
+        # ---- Recompute the forward step's messages / attention / gates ----
+        m_hh = relu_proj(h_h, 0)
+        m_ho = relu_proj(h_h, 1)
+        m_oh = relu_proj(h_o, 2)
+        m_oo = relu_proj(h_o, 3)
+
+        def scores(recv, send):
+            return jax.lax.dot_general(
+                recv, send, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32) * scale
+
+        def msoftmax(s, mask):
+            mask = jnp.broadcast_to(mask, s.shape).astype(f32)
+            s = jnp.where(mask > 0, s, -1e30)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m) * mask
+            d = jnp.sum(e, axis=-1, keepdims=True)
+            return (e / jnp.maximum(d, 1e-30)).astype(cdt)
+
+        mask_obj = mask_obj_ref[:].astype(f32)[:, None, :]
+        a_hh = msoftmax(scores(h_h, h_h), mask_hh_ref[:].astype(f32)[None])
+        a_oh = msoftmax(scores(h_h, h_o), mask_obj)
+        a_ho = msoftmax(scores(h_o, h_h), jnp.ones((1, 1, nh), f32))
+        a_oo = msoftmax(scores(h_o, h_o),
+                        mask_obj * eye_oo_ref[:].astype(f32)[None])
+
+        def mix(att, msg):
+            return jax.lax.dot_general(
+                att, msg, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32).astype(cdt)
+
+        msgs_h = jnp.concatenate([mix(a_hh, m_hh), mix(a_oh, m_oh)], axis=-1)
+        msgs_o = jnp.concatenate([mix(a_ho, m_ho), mix(a_oo, m_oo)], axis=-1)
+        msgs_h_ref[0] = msgs_h.astype(msgs_h_ref.dtype)
+        msgs_o_ref[0] = msgs_o.astype(msgs_o_ref.dtype)
+
+        def gates(gi_base, msgs, h_prev, w_msg, w_hh, b_hh_ref):
+            gi = (gi_base[0].astype(f32)
+                  + jnp.dot(rows(msgs), w_msg,
+                            preferred_element_type=f32)
+                  .reshape(gi_base.shape[1:]))
+            gh = (jnp.dot(rows(h_prev), w_hh,
+                          preferred_element_type=f32).reshape(gi.shape)
+                  + b_hh_ref[:].astype(f32))
+            r = jax.nn.sigmoid(gi[..., :hd] + gh[..., :hd]).astype(cdt)
+            z = jax.nn.sigmoid(gi[..., hd:2 * hd] + gh[..., hd:2 * hd]).astype(cdt)
+            hn = gh[..., 2 * hd:].astype(cdt)
+            n = jnp.tanh(gi[..., 2 * hd:].astype(cdt) + r * hn)
+            return r, z, n, hn
+
+        r_h, z_h, n_h, hn_h = gates(gi_h_ref[:], msgs_h, h_h,
+                                    wmh, whh_h, b_hh_h_ref)
+        r_o, z_o, n_o, hn_o = gates(gi_o_ref[:], msgs_o, h_o,
+                                    wmo, whh_o, b_hh_o_ref)
+
+        # ---- Backward through the gated update + GRU cell -----------------
+        def cell_bwd(g_ref, dh_scr_val, u_ref, r, z, n, hn, h_prev, w_hh,
+                     dgi_ref, dgh_ref, du_ref):
+            dH = dh_scr_val + g_ref[0].astype(f32)
+            u = u_ref[0].astype(f32)[..., None]
+            h_prev32 = h_prev.astype(f32)
+            h_new = ((1.0 - z) * n).astype(f32) + z.astype(f32) * h_prev32
+            du_ref[0] = jnp.sum(dH * (h_new - h_prev32),
+                                axis=-1).astype(du_ref.dtype)
+            dh_new = (dH * u).astype(cdt)
+            dhprev = dH * (1.0 - u)
+            dn = dh_new * (1.0 - z)
+            dz = dh_new * (h_prev - n)
+            dtanh = dn * (1.0 - n * n)
+            dr = dtanh * hn
+            d_ir = dr * r * (1.0 - r)
+            d_iz = dz * z * (1.0 - z)
+            odt = dgi_ref.dtype
+            dgi_ref[0, :, :, :hd] = d_ir.astype(odt)
+            dgi_ref[0, :, :, hd:2 * hd] = d_iz.astype(odt)
+            dgi_ref[0, :, :, 2 * hd:] = dtanh.astype(odt)
+            dgh_n = dtanh * r
+            dgh_ref[0, :, :, :hd] = d_ir.astype(odt)
+            dgh_ref[0, :, :, hd:2 * hd] = d_iz.astype(odt)
+            dgh_ref[0, :, :, 2 * hd:] = dgh_n.astype(odt)
+            dgi = jnp.concatenate([d_ir, d_iz, dtanh], axis=-1)
+            dgh = jnp.concatenate([d_ir, d_iz, dgh_n], axis=-1)
+            dhprev = dhprev + (dh_new * z).astype(f32) + jax.lax.dot_general(
+                rows(dgh), w_hh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32).reshape(h_prev.shape)
+            return dgi, dhprev
+
+        dgi_h, dhprev_h = cell_bwd(g_h_ref, dh_h_scr[:], u_h_ref,
+                                   r_h, z_h, n_h, hn_h, h_h, whh_h,
+                                   dgi_h_ref, dgh_h_ref, du_h_ref)
+        dgi_o, dhprev_o = cell_bwd(g_o_ref, dh_o_scr[:], u_o_ref,
+                                   r_o, z_o, n_o, hn_o, h_o, whh_o,
+                                   dgi_o_ref, dgh_o_ref, du_o_ref)
+
+        # ---- Backward through messages / attention ------------------------
+        def dmsgs_of(dgi, w_msg, e):
+            return unrows(jax.lax.dot_general(
+                rows(dgi), w_msg,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32).astype(cdt), e)
+
+        dmsgs_h = dmsgs_of(dgi_h, wmh, nh)           # (B, H, 2h)
+        dmsgs_o = dmsgs_of(dgi_o, wmo, no)
+
+        def att_bwd(a, m, dmg, recv, send, datt_extra=None):
+            da = jax.lax.dot_general(                     # (B, R, S)
+                dmg, m, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32)
+            if datt_extra is not None:
+                da = da + datt_extra
+            dm = jax.lax.dot_general(                     # (B, S, h)
+                a, dmg, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32).astype(cdt)
+            a32 = a.astype(f32)
+            ds = (a32 * (da - jnp.sum(da * a32, axis=-1,
+                                      keepdims=True))).astype(cdt)
+            drecv = scale * jax.lax.dot_general(          # (B, R, h)
+                ds, send, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32)
+            dsend = scale * jax.lax.dot_general(          # (B, S, h)
+                ds, recv, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32)
+            return dm, drecv, dsend
+
+        g_att = g_att_ref[0].astype(f32)
+        dm_hh, dr_hh, dsnd_hh = att_bwd(a_hh, m_hh, dmsgs_h[..., :hd], h_h, h_h)
+        dm_oh, dr_oh, dsnd_oh = att_bwd(a_oh, m_oh, dmsgs_h[..., hd:], h_h, h_o,
+                                        datt_extra=g_att)
+        dm_ho, dr_ho, dsnd_ho = att_bwd(a_ho, m_ho, dmsgs_o[..., :hd], h_o, h_h)
+        dm_oo, dr_oo, dsnd_oo = att_bwd(a_oo, m_oo, dmsgs_o[..., hd:], h_o, h_o)
+
+        def proj_bwd(dm, m, idx, dpre_ref, lo):
+            # bf16 comparisons are unsupported on this target; mask in f32.
+            dpre = dm * (m.astype(f32) > 0.0).astype(cdt)
+            dpre_ref[0, :, :, lo:lo + hd] = dpre.astype(dpre_ref.dtype)
+            return unrows(jax.lax.dot_general(
+                rows(dpre), wf[idx],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32), dm.shape[1])
+
+        dhs_hh = proj_bwd(dm_hh, m_hh, 0, dpre_h_ref, 0)
+        dhs_ho = proj_bwd(dm_ho, m_ho, 1, dpre_h_ref, hd)
+        dhs_oh = proj_bwd(dm_oh, m_oh, 2, dpre_o_ref, 0)
+        dhs_oo = proj_bwd(dm_oo, m_oo, 3, dpre_o_ref, hd)
+
+        dh_h_scr[:] = (dhprev_h + dr_hh + dsnd_hh + dr_oh + dsnd_ho
+                       + dhs_hh + dhs_ho)
+        dh_o_scr[:] = (dhprev_o + dsnd_oh + dr_ho + dr_oo + dsnd_oo
+                       + dhs_oh + dhs_oo)
+
+        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        def _():
+            dh0_h_ref[:] = dh_h_scr[:].astype(dh0_h_ref.dtype)
+            dh0_o_ref[:] = dh_o_scr[:].astype(dh0_o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "reverse", "interpret"))
+def _seg_dir_bwd_pallas(gi_h, gi_o, u_h, u_o, hprev_h, hprev_o, g_h, g_o,
+                        g_att, w_from, b_from, w_msg_h, w_msg_o,
+                        w_hh_h, w_hh_o, b_hh_h, b_hh_o,
+                        mask_hh, mask_obj, eye_oo,
+                        scale: float, reverse: bool, interpret: bool):
+    t, b, nh, g3 = gi_h.shape
+    no = gi_o.shape[2]
+    hd = g3 // 3
+    dtype = gi_h.dtype
+    # The backward sweep visits time opposite to the forward direction.
+    rev = not reverse
+    ts = lambda shape: _tspec(t, shape, rev)
+    return pl.pallas_call(
+        _make_bwd_kernel(scale),
+        grid=(t,),
+        in_specs=[ts((b, nh, g3)), ts((b, no, g3)),
+                  ts((b, nh)), ts((b, no)),
+                  ts((b, nh, hd)), ts((b, no, hd)),
+                  ts((b, nh, hd)), ts((b, no, hd)), ts((b, nh, no)),
+                  _full(), _full(), _full(), _full(), _full(), _full(),
+                  _full(), _full(), _full(), _full(), _full()],
+        out_specs=(ts((b, nh, g3)), ts((b, no, g3)),
+                   ts((b, nh, g3)), ts((b, no, g3)),
+                   ts((b, nh, 2 * hd)), ts((b, no, 2 * hd)),
+                   ts((b, nh, 2 * hd)), ts((b, no, 2 * hd)),
+                   ts((b, nh)), ts((b, no)),
+                   _full(), _full()),
+        out_shape=(jax.ShapeDtypeStruct((t, b, nh, g3), dtype),
+                   jax.ShapeDtypeStruct((t, b, no, g3), dtype),
+                   jax.ShapeDtypeStruct((t, b, nh, g3), dtype),
+                   jax.ShapeDtypeStruct((t, b, no, g3), dtype),
+                   jax.ShapeDtypeStruct((t, b, nh, 2 * hd), dtype),
+                   jax.ShapeDtypeStruct((t, b, no, 2 * hd), dtype),
+                   jax.ShapeDtypeStruct((t, b, nh, 2 * hd), dtype),
+                   jax.ShapeDtypeStruct((t, b, no, 2 * hd), dtype),
+                   jax.ShapeDtypeStruct((t, b, nh), dtype),
+                   jax.ShapeDtypeStruct((t, b, no), dtype),
+                   jax.ShapeDtypeStruct((b, nh, hd), dtype),
+                   jax.ShapeDtypeStruct((b, no, hd), dtype)),
+        scratch_shapes=[pltpu.VMEM((b, nh, hd), jnp.float32),
+                        pltpu.VMEM((b, no, hd), jnp.float32)],
+        # The step touches every weight once -> the default 16 MB scoped-vmem
+        # budget under-provisions the pipeline's buffers; v5e has headroom.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(gi_h, gi_o, u_h, u_o, hprev_h, hprev_o, g_h, g_o, g_att,
+      w_from, b_from, w_msg_h, w_msg_o, w_hh_h, w_hh_o, b_hh_h, b_hh_o,
+      mask_hh, mask_obj, eye_oo)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _seg_dir(scale, reverse, interpret, gi_h, gi_o, u_h, u_o, w_from, b_from,
+             w_msg_h, w_msg_o, w_hh_h, w_hh_o, b_hh_h, b_hh_o,
+             mask_hh, mask_obj, eye_oo, h0_h, h0_o):
+    """One direction of the segment scan with a HAND-WRITTEN Pallas VJP:
+    forward and backward both run as VMEM-resident kernels (no XLA
+    recompute). The weight gradients reduce outside the kernel as large MXU
+    einsums over the kernel's emitted per-step grads."""
+    return _seg_dir_pallas(gi_h, gi_o, u_h, u_o, w_from, b_from, w_msg_h,
+                           w_msg_o, w_hh_h, w_hh_o, b_hh_h, b_hh_o,
+                           mask_hh, mask_obj, eye_oo, h0_h, h0_o,
+                           scale=scale, reverse=reverse, interpret=interpret)
+
+
+def _seg_dir_fwd(scale, reverse, interpret, *args):
+    out = _seg_dir_pallas(*args, scale=scale, reverse=reverse,
+                          interpret=interpret)
+    return out, (args, out[0], out[1])
+
+
+def _seg_dir_bwd(scale, reverse, interpret, residuals, g):
+    (gi_h, gi_o, u_h, u_o, w_from, b_from, w_msg_h, w_msg_o, w_hh_h, w_hh_o,
+     b_hh_h, b_hh_o, mask_hh, mask_obj, eye_oo, h0_h, h0_o), h_h_seq, h_o_seq \
+        = residuals
+    g_h, g_o, g_att = g
+    # The state each step READ, in natural time order.
+    if reverse:
+        hprev_h = jnp.concatenate([h_h_seq[1:], h0_h[None]], axis=0)
+        hprev_o = jnp.concatenate([h_o_seq[1:], h0_o[None]], axis=0)
+    else:
+        hprev_h = jnp.concatenate([h0_h[None], h_h_seq[:-1]], axis=0)
+        hprev_o = jnp.concatenate([h0_o[None], h_o_seq[:-1]], axis=0)
+    (dgi_h, dgi_o, dgh_h, dgh_o, msgs_h, msgs_o, dpre_h, dpre_o,
+     du_h, du_o, dh0_h, dh0_o) = _seg_dir_bwd_pallas(
+        gi_h, gi_o, u_h, u_o, hprev_h, hprev_o, g_h, g_o, g_att,
+        w_from, b_from, w_msg_h, w_msg_o, w_hh_h, w_hh_o, b_hh_h, b_hh_o,
+        mask_hh, mask_obj, eye_oo,
+        scale=scale, reverse=reverse, interpret=interpret)
+
+    f32 = jnp.float32
+    hd = w_hh_h.shape[0]
+    red = lambda a, b_: jnp.einsum("tbeh,tbeg->hg", a.astype(f32), b_.astype(f32))
+    dw_msg_h = red(msgs_h, dgi_h).astype(w_msg_h.dtype)
+    dw_msg_o = red(msgs_o, dgi_o).astype(w_msg_o.dtype)
+    dw_hh_h = red(hprev_h, dgh_h).astype(w_hh_h.dtype)
+    dw_hh_o = red(hprev_o, dgh_o).astype(w_hh_o.dtype)
+    db_hh_h = jnp.sum(dgh_h.astype(f32), axis=(0, 1, 2)).astype(b_hh_h.dtype)
+    db_hh_o = jnp.sum(dgh_o.astype(f32), axis=(0, 1, 2)).astype(b_hh_o.dtype)
+    dw_from = jnp.stack([
+        red(hprev_h, dpre_h[..., :hd]), red(hprev_h, dpre_h[..., hd:]),
+        red(hprev_o, dpre_o[..., :hd]), red(hprev_o, dpre_o[..., hd:]),
+    ]).astype(w_from.dtype)
+    db_from = jnp.stack([
+        jnp.sum(dpre_h.astype(f32)[..., :hd], axis=(0, 1, 2)),
+        jnp.sum(dpre_h.astype(f32)[..., hd:], axis=(0, 1, 2)),
+        jnp.sum(dpre_o.astype(f32)[..., :hd], axis=(0, 1, 2)),
+        jnp.sum(dpre_o.astype(f32)[..., hd:], axis=(0, 1, 2)),
+    ]).astype(b_from.dtype)
+    return (dgi_h, dgi_o, du_h, du_o, dw_from, db_from, dw_msg_h, dw_msg_o,
+            dw_hh_h, dw_hh_o, db_hh_h, db_hh_o,
+            jnp.zeros_like(mask_hh), jnp.zeros_like(mask_obj),
+            jnp.zeros_like(eye_oo), dh0_h, dh0_o)
+
+
+_seg_dir.defvjp(_seg_dir_fwd, _seg_dir_bwd)
 
 
 def _collect(params, cfg, dtype):
@@ -221,7 +558,7 @@ def _base_gates(params, cell_name, x):
 
 
 def _seg_fast_pallas_impl(cfg, interpret, seg_params, x_hs, x_os, u_h, u_o,
-                          objects_mask, seg_h0, seg_o0):
+                          objects_mask, seg_h0, seg_o0, kernel_vjp=False):
     b, t, num_humans, base_h = x_hs.shape
     num_objects, base_o = x_os.shape[2], x_os.shape[-1]
     h = cfg.hidden_size
@@ -248,10 +585,12 @@ def _seg_fast_pallas_impl(cfg, interpret, seg_params, x_hs, x_os, u_h, u_o,
         else:
             h0_h = seg_h0.astype(dtype)
             h0_o = seg_o0.astype(dtype)
-        return _seg_dir_pallas(gi_h, gi_o, u_h_t, u_o_t, w_from, b_from,
-                               w_msg_h, w_msg_o, w_hh_h, w_hh_o, b_hh_h, b_hh_o,
-                               mask_hh, objects_mask.astype(dtype), eye_oo,
-                               h0_h, h0_o, scale=float(scale), reverse=reverse,
+        args = (gi_h, gi_o, u_h_t, u_o_t, w_from, b_from,
+                w_msg_h, w_msg_o, w_hh_h, w_hh_o, b_hh_h, b_hh_o,
+                mask_hh, objects_mask.astype(dtype), eye_oo, h0_h, h0_o)
+        if kernel_vjp:
+            return _seg_dir(float(scale), reverse, interpret, *args)
+        return _seg_dir_pallas(*args, scale=float(scale), reverse=reverse,
                                interpret=interpret)
 
     hf_h, hf_o, att_f = run_dir("fwd")
@@ -310,10 +649,19 @@ SEG_PARAM_KEYS = ("human_segment_rnn_fcell", "human_segment_rnn_bcell",
 
 
 def run_segment_scan_pallas(params, cfg, x_hs, x_os, u_h, u_o, objects_mask,
-                            seg_carry=(None, None), interpret: bool = False):
+                            seg_carry=(None, None), interpret: bool = False,
+                            vjp_mode: str = "auto"):
     """apply_tggcn-facing wrapper: filters the segment-relevant parameters
     (so the custom VJP's cotangent covers exactly them) and materialises the
-    zero carries."""
+    zero carries.
+
+    vjp_mode selects the backward implementation:
+      * 'kernel' — the hand-written Pallas backward (_seg_dir): reverse-time
+        sweep in VMEM, no XLA recompute. Both weight copies must fit VMEM,
+        which holds for bfloat16 activations at hidden 512 but NOT float32.
+      * 'xla' — custom VJP that recomputes through the XLA fast path.
+      * 'auto' — 'kernel' for sub-float32 compute dtypes, 'xla' otherwise.
+    """
     b = x_hs.shape[0]
     h = cfg.hidden_size
     dtype = x_hs.dtype
@@ -323,5 +671,11 @@ def run_segment_scan_pallas(params, cfg, x_hs, x_os, u_h, u_o, objects_mask,
         seg_h0 = jnp.zeros((b, x_hs.shape[2], h), dtype)
     if seg_o0 is None:
         seg_o0 = jnp.zeros((b, x_os.shape[2], h), dtype)
+    if vjp_mode == "auto":
+        vjp_mode = "kernel" if dtype != jnp.float32 else "xla"
+    if vjp_mode == "kernel":
+        return _seg_fast_pallas_impl(cfg, interpret, seg_params, x_hs, x_os,
+                                     u_h, u_o, objects_mask, seg_h0, seg_o0,
+                                     kernel_vjp=True)
     return segment_scan_fast_pallas(cfg, interpret, seg_params, x_hs, x_os,
                                     u_h, u_o, objects_mask, seg_h0, seg_o0)

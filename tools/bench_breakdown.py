@@ -54,12 +54,15 @@ def build(args):
         hidden_size=512, gcn_node=26,
         message_humans_to_human=True, message_human_to_objects=True,
         message_objects_to_human=True, message_objects_to_object=True,
-        message_geometry_to_objects=True, message_segment=True,
+        message_geometry_to_objects=True,
+        message_segment=args.ablate != "no_segment_messages",
         message_type="v2", message_granularity="v1", message_aggregation="att",
         attention_style="v3", discrete_optimization_strategy="gs",
         object_segment_update_strategy="ind", compute_dtype=args.compute_dtype,
         use_pallas_gru=args.use_pallas_gru, scan_unroll=args.scan_unroll,
-        use_pallas_segment_scan=args.use_pallas_segment_scan)
+        use_pallas_segment_scan=args.use_pallas_segment_scan,
+        remat_segment_scan=not args.no_remat,
+        segment_remat_policy=args.remat_policy)
     params = model.init(jax.random.PRNGKey(0))
     optimizer = optax.adam(1e-4)
 
@@ -92,6 +95,13 @@ def main():
     parser.add_argument("--use_pallas_gru", action="store_true")
     parser.add_argument("--scan_unroll", type=int, default=4)
     parser.add_argument("--use_pallas_segment_scan", action="store_true")
+    parser.add_argument("--remat_policy", default="full", choices=["full", "dots"])
+    parser.add_argument("--no_remat", action="store_true",
+                        help="Store segment-scan residuals instead of remat.")
+    parser.add_argument("--ablate", default="none",
+                        choices=["none", "no_segment_messages", "forward_only"],
+                        help="Timing ablations: drop segment messages, or time "
+                             "forward+loss only (no grad/Adam).")
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()
 
@@ -116,6 +126,36 @@ def main():
     stack = lambda a: jnp.broadcast_to(a[None], (k,) + a.shape)
     data_stack = jax.tree_util.tree_map(stack, data)
     target_stack = jax.tree_util.tree_map(stack, targets)
+    if args.ablate == "forward_only":
+        import jax
+
+        def fwd_loss(params_, rng_, data_, targets_):
+            def one(carry, inp):
+                key, d, tg = inp
+                outputs, _aux = model.apply(params_, train=True, rng=key,
+                                            **feeder(d))
+                losses = criterion(outputs, tg, reduction="mean")
+                return carry, sum(losses)
+
+            _, losses = jax.lax.scan(one, 0.0, (jax.random.split(rng_, k),
+                                                data_, targets_))
+            return losses
+
+        fwd_jit = jax.jit(fwd_loss)
+        losses = fwd_jit(params, key, data_stack, target_stack)
+        sync(losses)
+        best = float("inf")
+        for i in range(3):
+            start = time.perf_counter()
+            losses = fwd_jit(params, jax.random.fold_in(key, i),
+                             data_stack, target_stack)
+            sync(losses)
+            best = min(best, time.perf_counter() - start)
+        print(json.dumps({"forward_only_step_ms": best / k * 1000,
+                          "forward_only_clips_per_sec": k * b / best,
+                          "config": vars(args)}))
+        return
+
     fused = make_fused_train_steps(model, feeder, criterion, optimizer, mtll=None)
     trainable = {"model": params}
     opt_state = optimizer.init(trainable)
@@ -184,6 +224,7 @@ def main():
                          "compute_dtype": args.compute_dtype,
                          "use_pallas_gru": args.use_pallas_gru,
                          "use_pallas_segment_scan": args.use_pallas_segment_scan,
+                         "ablate": args.ablate, "no_remat": args.no_remat,
                          "device": str(jax.devices()[0])}
     if args.json:
         print(json.dumps(results))
