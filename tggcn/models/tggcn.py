@@ -86,8 +86,14 @@ class TGGCNConfig:
     # Rematerialise the segment-scan body in the backward pass (recompute
     # instead of storing per-step residuals). Numerics-neutral; trades FLOPs
     # for HBM traffic on long sequences. Measured ~25% faster train steps on
-    # v5e at the MPHOI headline shape, hence on by default.
+    # v5e at the MPHOI headline shape, hence on by default (storing all
+    # residuals re-measured 19% slower in round 2: 29.8 vs 25.0 ms/step).
     remat_segment_scan: bool = True
+    # Residual policy under remat_segment_scan: 'full' recomputes everything;
+    # 'dots' saves matmul/einsum outputs and recomputes only elementwise ops
+    # (jax.checkpoint_policies.checkpoint_dots) — less backward recompute at
+    # the cost of some residual HBM traffic.
+    segment_remat_policy: str = "full"
     # lax.scan unroll factor for the recurrent scans (1 = no unrolling).
     # Amortises per-iteration overhead on latency-bound recurrences. Swept on
     # v5e (bf16 + Pallas GRU headline): unroll 2 -> 27.4 ms/step, 4 -> 25.0,
@@ -710,6 +716,14 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
     return output, aux
 
 
+def _remat_step(step_fn, cfg: TGGCNConfig):
+    """jax.checkpoint with the configured residual policy."""
+    if cfg.segment_remat_policy == "dots":
+        return jax.checkpoint(
+            step_fn, policy=jax.checkpoint_policies.checkpoint_dots)
+    return jax.checkpoint(step_fn)
+
+
 def _fast_segment_scan_applicable(cfg: TGGCNConfig, use_dists: bool) -> bool:
     """The batched fast path covers non-relational generic messages on all
     four entity edges with any aggregation: attention styles v1 (concat-MLP,
@@ -914,7 +928,7 @@ def _segment_scan_fast(params, cfg: TGGCNConfig, x_hs, x_os, u_h, u_o, objects_m
         h_o2_n = out4[2:, :, :num_objects]
         return (h_h2_n, h_o2_n), (h_h2_n, h_o2_n, a_oh)
 
-    body = jax.checkpoint(step) if cfg.remat_segment_scan else step
+    body = _remat_step(step, cfg) if cfg.remat_segment_scan else step
     _, (h_h_seq, h_o_seq, att_seq) = jax.lax.scan(body, init,
                                                   (gi4, u4, d_hh, d_ho, d_oo),
                                                   unroll=cfg.scan_unroll)
@@ -1083,7 +1097,7 @@ def _segment_scan(params, cfg: TGGCNConfig, x_hs, x_os, u_h, u_o, objects_mask,
           rev(gi_hb_t), rev(gi_ob_t), rev(u_h_t), rev(u_o_t),
           hh_t_f, ho_t_f, oo_t_f, hh_t_b, ho_t_b, oo_t_b)
     if cfg.remat_segment_scan:
-        step_wrapper = jax.checkpoint(step_wrapper)
+        step_wrapper = _remat_step(step_wrapper, cfg)
     _, (h_hf_seq, h_hb_seq, h_of_seq, h_ob_seq, att_f_seq, att_b_seq) = \
         jax.lax.scan(step_wrapper, init, xs)
 
