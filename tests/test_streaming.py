@@ -102,3 +102,33 @@ def test_streaming_bounded_lookahead_runs_and_shapes(small_model):
     assert streamed[-1].shape == (1, 13, t, 2)     # heads (B, C, T, H)
     for s in streamed:
         assert np.isfinite(s).all()
+
+
+def test_process_window_stepwise_matches_run(small_model):
+    """The caller-owned step-wise API (process_window) threads carries and
+    emit boundaries identically to run()."""
+    cfg, params = small_model
+    t, w, la = 20, 6, 3
+    x_human, x_objects, mask, seg = _inputs(t=t, seed=9)
+    runner = StreamingRunner(params, cfg, window=w, lookahead=la,
+                             rng=jax.random.PRNGKey(42), fuse_group=1)
+    expected = runner.run(x_human, x_objects, mask, human_segmentation=seg)
+
+    carry = None
+    got = None
+    for start in range(0, t, w):
+        end = min(start + w + la, t)
+        outputs, carry = runner.process_window(
+            x_human[:, start:end], x_objects[:, start:end], mask, carry=carry,
+            human_segmentation=seg[:, start:end], is_last=end == t)
+        emit = min(w, t - start)
+        keep = [np.asarray(o)[:, :, :emit] if np.asarray(o).ndim == 4
+                else np.asarray(o)[:, :emit] for o in outputs]
+        if got is None:
+            got = keep
+        else:
+            got = [np.concatenate([g, k], axis=2 if k.ndim == 4 else 1)
+                   for g, k in zip(got, keep)]
+    for i, (a, b) in enumerate(zip(expected, got)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"output {i}")

@@ -103,6 +103,30 @@ class StreamingRunner:
         carry, emitted = jax.lax.scan(body, carry, starts)
         return emitted, carry
 
+    def process_window(self, x_human, x_objects, objects_mask, carry=None,
+                       human_segmentation=None, is_last: bool = False):
+        """Process ONE chunk step-wise (online serving: frames arrive
+        incrementally and the caller owns the loop).
+
+        x_human (B, W+L, ...) should contain `window` frames to emit plus up
+        to `lookahead` future frames of context (fewer only at stream end,
+        with is_last=True, which also applies the forced final commit).
+        Returns (outputs, carry): outputs over the FULL chunk — the caller
+        keeps the first min(window, chunk) frames — and the device-resident
+        carry to pass to the next call.
+        """
+        b, chunk = x_human.shape[:2]
+        xh = jax.device_put(x_human)
+        xo = jax.device_put(x_objects)
+        seg = (jax.device_put(human_segmentation)
+               if human_segmentation is not None else None)
+        steps = np.full((b,), float(chunk), dtype=np.float32)
+        outputs, carry_seq = self._jitted(self.params, xh, xo, objects_mask,
+                                          steps, carry or {}, seg, is_last)
+        boundary = min(self.window, chunk) - 1
+        carry = {k: v[:, boundary] for k, v in carry_seq.items()}
+        return outputs, carry
+
     @staticmethod
     def _stitch_windows(stacked: np.ndarray) -> np.ndarray:
         """(K, B, C, w, E) -> (B, C, K*w, E) or (K, B, w, E) -> (B, K*w, E)."""

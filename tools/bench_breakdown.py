@@ -61,6 +61,7 @@ def build(args):
         object_segment_update_strategy="ind", compute_dtype=args.compute_dtype,
         use_pallas_gru=args.use_pallas_gru, scan_unroll=args.scan_unroll,
         use_pallas_segment_scan=args.use_pallas_segment_scan,
+        use_pallas_geo_gcn=args.use_pallas_geo_gcn,
         remat_segment_scan=not args.no_remat,
         segment_remat_policy=args.remat_policy)
     params = model.init(jax.random.PRNGKey(0))
@@ -96,6 +97,7 @@ def main():
     parser.add_argument("--scan_unroll", type=int, default=4)
     parser.add_argument("--use_pallas_segment_scan", action="store_true")
     parser.add_argument("--remat_policy", default="full", choices=["full", "dots"])
+    parser.add_argument("--use_pallas_geo_gcn", action="store_true")
     parser.add_argument("--no_remat", action="store_true",
                         help="Store segment-scan residuals instead of remat.")
     parser.add_argument("--ablate", default="none",
