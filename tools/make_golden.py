@@ -141,6 +141,18 @@ SCENARIOS = {
         dict(b=2, t=6, num_humans=2, num_objects=3, human_width=2168, with_dists=False),
         dict(),
     ),
+    # Real-scale hidden width: every other scenario pins parity at hidden 24;
+    # this one catches precision/decision-flip divergence that only shows up
+    # when the accumulation depth approaches the production configuration.
+    "mphoi_hidden128": (
+        dict(hidden_size=128, gcn_node=26, message_humans_to_human=True,
+             message_segment=True, message_type="v2", message_granularity="v1",
+             message_aggregation="att", attention_style="v3",
+             discrete_optimization_strategy="st",
+             object_segment_update_strategy="ind", num_classes=(13, None)),
+        dict(b=1, t=6, num_humans=2, num_objects=4, human_width=2152, with_dists=False),
+        dict(),
+    ),
     "mphoi_train_bn": (
         dict(hidden_size=24, gcn_node=26, message_humans_to_human=True,
              message_segment=False, message_type="v2", message_granularity="v1",
