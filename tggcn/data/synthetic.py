@@ -48,13 +48,19 @@ def _segments(rng, num_frames, num_classes, min_seg=5):
 
 def generate_mphoi_dataset(root_dir: str, num_videos: int = 8, min_len: int = 36,
                            max_len: int = 90, num_objects: int = 4, seed: int = 0,
-                           store_format: str = "npz") -> dict:
-    """Synthetic MPHOI-72-shaped dataset. Returns config-style path dict."""
+                           store_format: str = "npz",
+                           subject_pairs=("45", "12", "23", "13")) -> dict:
+    """Synthetic MPHOI-72-shaped dataset. Returns config-style path dict.
+
+    The default subject pairs mix the Subject45 test fold with pairs disjoint
+    from subjects {4, 5} so both the group-exclusion training filter and the
+    test filter keep videos. For a full 3-fold protocol run pass
+    ("45", "25", "14", "23", "13", "12") so every CV fold has test videos
+    AND non-overlapping training pairs.
+    """
     rng = np.random.default_rng(seed)
     os.makedirs(root_dir, exist_ok=True)
-    # Mix of test-fold pairs (45) and pairs disjoint from subjects {4, 5} so
-    # both the group-exclusion training filter and the test filter keep videos.
-    subject_pairs = ["45", "12", "23", "13"]
+    subject_pairs = list(subject_pairs)
     gt, feats, obbs, hbbs, hps = {}, {}, {}, {}, {}
     for i in range(num_videos):
         vid = f"Subject{subject_pairs[i % len(subject_pairs)]}-task-take{i}"
