@@ -5,7 +5,11 @@
 // 206-207 writes them; vhoi/data_loading.py:27-31 reads them). This
 // implements the read path natively: LZ4 block decompression, the blosc-1
 // chunk container (16-byte header + per-block offsets + optional per-block
-// typesize-way stream splitting), and the byte-shuffle inverse.
+// typesize-way stream splitting), and the byte-shuffle and bit-shuffle
+// inverses. The bit-shuffle block layout (full LSB-first bit transpose when
+// the element count is a multiple of 8, verbatim copy otherwise) was pinned
+// empirically against libblosc 1.21.3 and is fuzz-tested against it
+// (tests/test_zarr.py::TestRealCBlosc).
 //
 // Whether a block was split into typesize streams is not recorded in the
 // blosc-1 header (the policy changed across c-blosc versions), so decoding
@@ -104,12 +108,56 @@ void unshuffle(long typesize, long bsize, const uint8_t *src, uint8_t *dst) {
   }
 }
 
+// 8x8 bit-matrix transpose: bit j of byte i  ->  bit i of byte j.
+inline uint64_t transpose8(uint64_t x) {
+  uint64_t t;
+  t = (x ^ (x >> 7)) & 0x00AA00AA00AA00AAULL;
+  x ^= t ^ (t << 7);
+  t = (x ^ (x >> 14)) & 0x0000CCCC0000CCCCULL;
+  x ^= t ^ (t << 14);
+  t = (x ^ (x >> 28)) & 0x00000000F0F0F0F0ULL;
+  x ^= t ^ (t << 28);
+  return x;
+}
+
+// Inverse bitshuffle, matching c-blosc 1.x semantics (verified empirically
+// against libblosc 1.21.3 output): with elems = bsize / typesize,
+//   * elems % 8 != 0  ->  the block was NOT shuffled (verbatim copy);
+//   * otherwise the first elems*typesize bytes are a full bit transpose
+//     (LSB-first packing: shuffled row r = t*8+b holds bit b of byte-plane t
+//     of every element, packed 8 elements per byte), and any tail bytes
+//     (bsize % typesize) are copied verbatim.
+void bit_unshuffle(long typesize, long bsize, const uint8_t *src,
+                   uint8_t *dst) {
+  const long nelems = bsize / typesize;
+  if (nelems % 8 != 0) {
+    std::memcpy(dst, src, bsize);
+    return;
+  }
+  const long row_bytes = nelems / 8;  // bytes per shuffled bit row
+  for (long t = 0; t < typesize; ++t) {
+    const uint8_t *rows = src + t * 8 * row_bytes;
+    for (long g = 0; g < row_bytes; ++g) {
+      uint64_t x = 0;
+      for (long b = 0; b < 8; ++b)
+        x |= static_cast<uint64_t>(rows[b * row_bytes + g]) << (8 * b);
+      const uint64_t y = transpose8(x);
+      // byte i of y = byte-plane t of element 8g+i
+      for (long i = 0; i < 8; ++i)
+        dst[(8 * g + i) * typesize + t] =
+            static_cast<uint8_t>((y >> (8 * i)) & 0xFF);
+    }
+  }
+  std::memcpy(dst + nelems * typesize, src + nelems * typesize,
+              bsize - nelems * typesize);
+}
+
 }  // namespace
 
 extern "C" {
 
 // Returns decompressed byte count, or a negative error code:
-// -1 malformed, -2 bit-shuffle unsupported, -3 non-LZ4 codec unsupported.
+// -1 malformed, -3 non-LZ4 codec unsupported.
 long blosc_lz4_decompress(const uint8_t *src, long slen, uint8_t *dst,
                           long dcap) {
   if (slen < 16) return -1;
@@ -120,7 +168,6 @@ long blosc_lz4_decompress(const uint8_t *src, long slen, uint8_t *dst,
   const long cbytes = le32(src + 12);
   if (nbytes < 0 || nbytes > dcap || cbytes < 16 || cbytes > slen) return -1;
   if (nbytes == 0) return 0;
-  if (flags & 0x4) return -2;  // bit shuffle
   if (flags & 0x2) {           // pure memcpy chunk
     if (16 + nbytes > slen) return -1;
     std::memcpy(dst, src + 16, nbytes);
@@ -129,7 +176,9 @@ long blosc_lz4_decompress(const uint8_t *src, long slen, uint8_t *dst,
   if (((flags >> 5) & 0x7) != 1) return -3;  // codec: 1 = LZ4/LZ4HC
   if (blocksize <= 0) return -1;
 
-  const bool shuffled = flags & 0x1;
+  const bool byte_shuffled = flags & 0x1;
+  const bool bit_shuffled = flags & 0x4;
+  const bool shuffled = byte_shuffled || bit_shuffled;
   const long nblocks = (nbytes + blocksize - 1) / blocksize;
   if (16 + 4 * nblocks > slen) return -1;
   std::vector<uint8_t> scratch(shuffled ? blocksize : 0);
@@ -146,7 +195,9 @@ long blosc_lz4_decompress(const uint8_t *src, long slen, uint8_t *dst,
       ok = decode_block_streams(src, slen, offset, bsize, typesize, out);
     if (!ok) ok = decode_block_streams(src, slen, offset, bsize, 1, out);
     if (!ok) return -1;
-    if (shuffled) {
+    if (bit_shuffled) {
+      bit_unshuffle(typesize, bsize, scratch.data(), dst + j * blocksize);
+    } else if (byte_shuffled) {
       if (bsize % typesize != 0) return -1;
       unshuffle(typesize, bsize, scratch.data(), dst + j * blocksize);
     }

@@ -126,11 +126,124 @@ class TestBloscDecode:
         path = _blosc_array_dir(tmp_path, chunk, (16,), "|u1")
         np.testing.assert_array_equal(zarr_lite.Array(path)[:], np.zeros(16))
 
-    def test_bitshuffle_rejected(self, tmp_path):
-        chunk = _blosc_header(0x4 | (1 << 5), 4, 16, 16, 16) + b"\x00" * 16
-        path = _blosc_array_dir(tmp_path, chunk, (4,), "<i4")
-        with pytest.raises(ValueError, match="bit-shuffled"):
-            zarr_lite.Array(path)[:]
+    def test_bitshuffle_stored_stream(self, tmp_path):
+        """Bit-shuffled block (c-blosc layout: full LSB-first bit transpose
+        when elems per block is a multiple of 8), stream stored raw."""
+        data = np.arange(16, dtype="<i4")  # 64 bytes, 16 elems
+        bits = np.unpackbits(data.view(np.uint8).reshape(16, 4), axis=1,
+                             bitorder="little")          # (elems, ts*8)
+        shuf = np.packbits(bits.T.copy(), axis=1, bitorder="little").reshape(-1)
+        body = b"".join(struct.pack("<i", 16) + shuf[t * 16:(t + 1) * 16].tobytes()
+                        for t in range(4))               # 4-way split, raw
+        bstarts = struct.pack("<i", 16 + 4)
+        chunk = _blosc_header(0x4 | (1 << 5), 4, 64, 64,
+                              16 + 4 + len(body)) + bstarts + body
+        path = _blosc_array_dir(tmp_path, chunk, data.shape, "<i4")
+        np.testing.assert_array_equal(zarr_lite.Array(path)[:], data)
+
+
+_REAL_BLOSC = "/usr/lib/x86_64-linux-gnu/libblosc.so.1"
+
+
+def _real_blosc_lib():
+    import ctypes
+
+    lib = ctypes.CDLL(_REAL_BLOSC)
+    lib.blosc_compress_ctx.restype = ctypes.c_int
+    lib.blosc_compress_ctx.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int]
+    return lib
+
+
+def _real_blosc_compress(raw: bytes, typesize: int, clevel: int,
+                         shuffle: int, blocksize: int = 0) -> bytes:
+    import ctypes
+
+    lib = _real_blosc_lib()
+    dest = ctypes.create_string_buffer(len(raw) + 1024)
+    n = lib.blosc_compress_ctx(clevel, shuffle, typesize, len(raw), raw,
+                               dest, len(dest), b"lz4", blocksize, 1)
+    assert n > 0, f"blosc_compress_ctx failed: {n}"
+    return dest.raw[:n]
+
+
+@needs_native
+@pytest.mark.skipif(not os.path.exists(_REAL_BLOSC),
+                    reason="system libblosc not present")
+class TestRealCBlosc:
+    """Chunks produced by the REAL c-blosc library (1.21.x on this host) —
+    non-self-constructed input for the native decoder, pinning the split
+    policy and the bit-shuffle layout against genuine output of the library
+    zarr 2.4 links (the reference's stores: vhoi/data_loading.py:27-31)."""
+
+    CASES = [
+        # (dtype, n_elems, clevel, shuffle, blocksize)
+        ("<f4", 5000, 5, 1, 0),      # zarr 2.4 default: lz4-5, byte shuffle
+        ("<f4", 5000, 5, 2, 0),      # bit shuffle
+        ("<f8", 3000, 9, 1, 0),      # lz4hc level
+        ("<f8", 2500, 5, 2, 0),      # f8 bitshuffle
+        ("<i2", 7777, 5, 2, 0),      # odd count, elems%8 != 0 tail
+        ("<i2", 7777, 5, 1, 0),
+        ("|u1", 300, 1, 2, 0),       # tiny, single unsplit stream
+        ("<i8", 500, 5, 2, 0),       # elems%8 != 0 -> verbatim block
+        ("<f4", 40000, 5, 1, 4096),  # forced small blocks, multi-block
+        ("<f4", 40001, 5, 2, 4096),  # multi-block + partial tail block
+        ("<i4", 1024, 5, 0, 0),      # no shuffle
+    ]
+
+    @pytest.mark.parametrize("dtype,n,clevel,shuffle,bs", CASES)
+    def test_decode_real_chunk(self, dtype, n, clevel, shuffle, bs):
+        rng = np.random.default_rng(hash((dtype, n, clevel, shuffle)) % 2**32)
+        itemsize = np.dtype(dtype).itemsize
+        # Low-entropy data: compressible (exercises real LZ4 streams) but
+        # non-trivial in every byte plane.
+        data = (rng.integers(0, 5, size=n * itemsize)
+                .astype(np.uint8).view(dtype))
+        raw = data.tobytes()
+        chunk = _real_blosc_compress(raw, itemsize, clevel, shuffle, bs)
+        out = zarr_lite._decompress_blosc(chunk, len(raw))
+        assert out == raw
+
+    def test_incompressible_memcpy_chunk(self):
+        rng = np.random.default_rng(99)
+        raw = rng.integers(0, 256, size=4096).astype(np.uint8).tobytes()
+        chunk = _real_blosc_compress(raw, 4, 5, 1)
+        assert zarr_lite._decompress_blosc(chunk, len(raw)) == raw
+
+    def test_zarr_store_with_real_blosc_chunks(self, tmp_path):
+        """Full Array read path over chunks the real library wrote."""
+        data = np.linspace(0, 1, 6 * 500 * 4, dtype="<f4").reshape(6, 500, 4)
+        array_dir = tmp_path / "real.zarr"
+        array_dir.mkdir()
+        meta = {"zarr_format": 2, "shape": list(data.shape),
+                "chunks": [2, 500, 4], "dtype": "<f4",
+                "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5,
+                               "shuffle": 2, "blocksize": 0},
+                "fill_value": 0.0, "order": "C", "filters": None}
+        (array_dir / ".zarray").write_text(json.dumps(meta))
+        for j in range(3):
+            raw = np.ascontiguousarray(data[2 * j:2 * j + 2]).tobytes()
+            (array_dir / f"{j}.0.0").write_bytes(
+                _real_blosc_compress(raw, 4, 5, 2))
+        np.testing.assert_array_equal(zarr_lite.Array(str(array_dir))[:], data)
+
+    def test_fuzz_random_params(self):
+        """Randomised sweep: any chunk the real library emits must decode."""
+        rng = np.random.default_rng(7)
+        for trial in range(40):
+            itemsize = int(rng.choice([1, 2, 3, 4, 6, 8, 16]))
+            n = int(rng.integers(1, 5000))
+            clevel = int(rng.integers(1, 10))
+            shuffle = int(rng.integers(0, 3))
+            bs = int(rng.choice([0, 1024, 4096]))
+            lo = int(rng.integers(2, 30))
+            raw = (rng.integers(0, lo, size=n * itemsize)
+                   .astype(np.uint8).tobytes())
+            chunk = _real_blosc_compress(raw, itemsize, clevel, shuffle, bs)
+            out = zarr_lite._decompress_blosc(chunk, len(raw))
+            assert out == raw, (trial, itemsize, n, clevel, shuffle, bs)
 
 
 class TestLoadersOverZarr:

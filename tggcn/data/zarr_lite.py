@@ -57,7 +57,7 @@ def _decompress_blosc(payload: bytes, nbytes_hint: int) -> bytes:
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.size,
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), dst.size)
     if n < 0:
-        detail = {-2: "bit-shuffled", -3: "non-LZ4 codec"}.get(n, "malformed")
+        detail = {-3: "non-LZ4 codec"}.get(n, "malformed")
         raise ValueError(f"cannot decode blosc chunk ({detail}, code {n})")
     return dst[:n].tobytes()
 
