@@ -45,22 +45,17 @@ def reorder_hidden_states(h: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         or after it; frames after the last end frame keep their own state.
     """
     u = jax.lax.stop_gradient(u)
-    h_t = jnp.swapaxes(h, 0, 1)  # (T, B, H)
-    u_t = jnp.swapaxes(u, 0, 1)  # (T, B)
-    batch = h.shape[0]
-    init = (jnp.zeros_like(h[:, 0]), jnp.zeros((batch, 1), dtype=bool))
-
-    def step(carry, inp):
-        state, valid = carry
-        h_i, u_i = inp
-        is_end = (u_i != 0)[:, None]
-        out = jnp.where(is_end, h_i, jnp.where(valid, state, h_i))
-        new_state = jnp.where(is_end, h_i, state)
-        new_valid = valid | is_end
-        return (new_state, new_valid), out
-
-    _, out = jax.lax.scan(step, init, (h_t, u_t), reverse=True)
-    return jnp.swapaxes(out, 0, 1)
+    t = h.shape[1]
+    # Gather formulation (no sequential scan): each frame reads the nearest
+    # end frame at or after it. idx[t] = min{s >= t : u[s] != 0}, computed as
+    # a reverse cumulative min (log-depth on TPU); frames past the last end
+    # frame fall back to themselves. The backward is then a scatter-add
+    # instead of a second T-step scan.
+    steps = jnp.arange(t, dtype=jnp.int32)
+    candidates = jnp.where(u != 0, steps[None, :], t)      # (B, T)
+    next_end = jax.lax.cummin(candidates, axis=1, reverse=True)
+    idx = jnp.where(next_end < t, next_end, steps[None, :])
+    return jnp.take_along_axis(h, idx[:, :, None], axis=1)
 
 
 def make_periodic_embedding(x: jnp.ndarray, hidden_size: int) -> jnp.ndarray:

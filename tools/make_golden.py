@@ -16,6 +16,10 @@ import sys
 
 import numpy as np
 
+# Repo root on sys.path: the training-fixture generator imports tggcn (for
+# the Config shim) even though the trajectories come from the reference.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
 
 
@@ -88,7 +92,9 @@ SCENARIOS = {
              discrete_optimization_strategy="st",
              object_segment_update_strategy="ind", num_classes=(13, None)),
         dict(b=2, t=6, num_humans=2, num_objects=4, human_width=2152, with_dists=False),
-        dict(),
+        # inspect_model: also record the stacked (frame, seg-fwd, seg-bwd)
+        # human<-object attention tensors (vhoi/models.py:927-932).
+        dict(inspect=True),
     ),
     "mphoi_dists": (
         dict(hidden_size=24, gcn_node=26, message_humans_to_human=True,
@@ -202,6 +208,95 @@ TRAIN_SCENARIOS = {
               "first_level_loss_weight": 0.2,
               "anticipation_loss_weight": 1.0},
         lr=1e-3, clip=0.0, steps=5),
+    # Stage-2 gradient path (conf/models/2G-GCN_stage2.yaml): the 3-point
+    # local-maximum STE filter on the soft decisions
+    # (vhoi/models.py:1637-1664 filter_soft_decisions), threshold 0.1, and
+    # Gaussian-smoothed BCE segmentation supervision
+    # (vhoi/data_loading.py:545-559). Strategy 'st' keeps the trajectory
+    # deterministic (the stage-2 default 'gs' draws framework-specific
+    # Gumbel noise, so cross-framework trajectories cannot be compared).
+    "train_mphoi_stage2": dict(
+        dataset="mphoi",
+        model_kwargs=dict(hidden_size=24, gcn_node=26, message_humans_to_human=True,
+                          message_segment=True, message_type="v2",
+                          message_granularity="v1", message_aggregation="att",
+                          attention_style="v3", discrete_optimization_strategy="st",
+                          filter_discrete_updates=True,
+                          object_segment_update_strategy="ind",
+                          update_segment_threshold=0.1, num_classes=(13, None)),
+        shape=dict(b=2, t=8, num_humans=2, num_objects=3, human_width=2152,
+                   with_dists=False),
+        misc={"segmentation_loss": {"add": True, "weight": 1.0},
+              "anticipation_loss_weight": 1.0},
+        smooth_sigma=4.0, lr=1e-3, clip=0.0, steps=5),
+    "train_cad120_stage2": dict(
+        dataset="cad120",
+        model_kwargs=dict(hidden_size=16, gcn_node=19, message_humans_to_human=False,
+                          message_segment=True, message_type="v2",
+                          message_granularity="v1", message_aggregation="att",
+                          attention_style="v3", discrete_optimization_strategy="st",
+                          filter_discrete_updates=True,
+                          object_segment_update_strategy="ind",
+                          update_segment_threshold=0.1, num_classes=(10, 12)),
+        shape=dict(b=2, t=8, num_humans=1, num_objects=2, human_width=2124,
+                   with_dists=False),
+        misc={"segmentation_loss": {"add": True, "weight": 1.0},
+              "anticipation_loss_weight": 1.0},
+        smooth_sigma=4.0, lr=1e-3, clip=0.0, steps=5),
+    # MTLL in the optimizer (train.py:42-46 + pyrutils/torch/multi_task.py):
+    # losses pass through the learnable-sigma weighting before the sum, and
+    # Adam updates the log-sigmas alongside the model. The recorded
+    # trajectory is the post-MTLL losses (what the reference train loop sums
+    # and logs, pyrutils/torch/train_utils.py:148-151).
+    "train_mphoi_mtll": dict(
+        dataset="mphoi",
+        model_kwargs=dict(hidden_size=24, gcn_node=26, message_humans_to_human=True,
+                          message_segment=True, message_type="v2",
+                          message_granularity="v1", message_aggregation="att",
+                          attention_style="v3", discrete_optimization_strategy="st",
+                          object_segment_update_strategy="ind",
+                          update_segment_threshold=0.5, num_classes=(13, None)),
+        shape=dict(b=2, t=6, num_humans=2, num_objects=3, human_width=2152,
+                   with_dists=False),
+        misc={"budget_loss": {"add": True, "human_weight": 0.5},
+              "segmentation_loss": {"add": True, "weight": 0.8},
+              "anticipation_loss_weight": 1.0,
+              "multi_task_loss_learner": True},
+        mtll=True, lr=1e-3, clip=5.0, steps=5),
+    "train_cad120_mtll": dict(
+        dataset="cad120",
+        model_kwargs=dict(hidden_size=16, gcn_node=19, message_humans_to_human=False,
+                          message_segment=True, message_type="v2",
+                          message_granularity="v1", message_aggregation="att",
+                          attention_style="v3", discrete_optimization_strategy="st",
+                          object_segment_update_strategy="ind",
+                          update_segment_threshold=0.5, num_classes=(10, 12)),
+        shape=dict(b=2, t=6, num_humans=1, num_objects=2, human_width=2124,
+                   with_dists=False),
+        misc={"budget_loss": {"add": True, "human_weight": 0.4,
+                              "object_weight": 0.6},
+              "segmentation_loss": {"add": True, "weight": 1.0},
+              "anticipation_loss_weight": 1.0,
+              "multi_task_loss_learner": True},
+        mtll=True, lr=1e-3, clip=0.0, steps=5),
+    # Long-horizon robustness: 18 steps to observe cross-framework
+    # divergence growth (slow gradient drift that 5 steps can hide).
+    # test_golden_training.py applies a widening per-step tolerance.
+    "train_mphoi_long18": dict(
+        dataset="mphoi",
+        model_kwargs=dict(hidden_size=24, gcn_node=26, message_humans_to_human=True,
+                          message_segment=True, message_type="v2",
+                          message_granularity="v1", message_aggregation="att",
+                          attention_style="v3", discrete_optimization_strategy="st",
+                          object_segment_update_strategy="ind",
+                          update_segment_threshold=0.5, num_classes=(13, None)),
+        shape=dict(b=2, t=6, num_humans=2, num_objects=3, human_width=2152,
+                   with_dists=False),
+        misc={"budget_loss": {"add": True, "human_weight": 0.5},
+              "segmentation_loss": {"add": True, "weight": 0.8},
+              "first_level_loss_weight": 0.3,
+              "anticipation_loss_weight": 0.7},
+        lr=1e-3, clip=5.0, steps=18),
 }
 
 
@@ -293,9 +388,39 @@ def make_training_fixtures(reference_path="/root/reference"):
             np_targets.append(tgt)
         torch_targets = [torch.from_numpy(a) for a in np_targets]
 
+        # Stage-2 supervision: Gaussian-smoothed segmentation targets
+        # (vhoi/data_loading.py:545-559 smooth_segmentation), applied to the
+        # float (segmentation/budget) target heads.
+        if spec.get("smooth_sigma"):
+            from scipy.ndimage import gaussian_filter1d
+
+            sigma = spec["smooth_sigma"]
+            for i, tgt in enumerate(np_targets):
+                if tgt.dtype != np.float32:
+                    continue
+                missing = tgt == -1.0
+                tgt[missing] = 0.0
+                sm = np.clip(gaussian_filter1d(tgt, sigma=sigma, axis=1,
+                                               mode="constant") * 2.5 * sigma,
+                             0.0, 1.0).astype(np.float32)
+                sm[missing] = -1.0
+                np_targets[i] = sm
+            torch_targets = [torch.from_numpy(a) for a in np_targets]
+
         criterion, loss_names = ref_select_loss(
             "2G-GCN", "multiple", dataset, Config({"misc": spec["misc"]}))
         optimizer = torch.optim.Adam(model.parameters(), lr=spec["lr"])
+        mtll_model = None
+        if spec.get("mtll"):
+            from pyrutils.torch.multi_task import MultiTaskLossLearner
+            from vhoi.losses import (select_loss_learning_mask,
+                                     select_loss_types)
+
+            loss_types = select_loss_types("2G-GCN", dataset, None)
+            mask = select_loss_learning_mask("2G-GCN", dataset, None)
+            mtll_model = MultiTaskLossLearner(loss_types=loss_types, mask=mask)
+            mtll_model.train()
+            optimizer.add_param_group({"params": mtll_model.parameters()})
         weights0 = {k: v.detach().clone().numpy()
                     for k, v in model.state_dict().items()}
         loss_trajectory = []
@@ -303,6 +428,8 @@ def make_training_fixtures(reference_path="/root/reference"):
             optimizer.zero_grad()
             outputs = gcn_forward(model, torch_data, dataset_name=dataset)
             losses = criterion(outputs, torch_targets, reduction="mean")
+            if mtll_model is not None:
+                losses = mtll_model(losses)
             sum(losses).backward()
             if spec["clip"]:
                 torch.nn.utils.clip_grad_norm_(model.parameters(),
@@ -318,10 +445,12 @@ def make_training_fixtures(reference_path="/root/reference"):
             payload[f"weight0::{k}"] = v
         for k, v in model.state_dict().items():
             payload[f"weightN::{k}"] = v.detach().numpy()
+        if mtll_model is not None:
+            payload["mtll_log_sdsN"] = mtll_model.log_sds.detach().numpy()
         payload["meta::spec"] = np.frombuffer(json.dumps({
             "dataset": dataset, "lr": spec["lr"], "clip": spec["clip"],
             "steps": spec["steps"], "misc": spec["misc"],
-            "loss_names": loss_names,
+            "loss_names": loss_names, "mtll": bool(spec.get("mtll")),
             "model_kwargs": {**spec["model_kwargs"],
                              "input_size": (shape["human_width"], 2048)},
         }, default=str).encode(), dtype=np.uint8)
@@ -396,13 +525,20 @@ def main():
             if model_kwargs["num_classes"][1] is not None:
                 inputs["objects_segmentation"] = os_
                 kwargs["objects_segmentation"] = torch.from_numpy(os_)
+        attention = None
         with torch.no_grad():
-            outputs = model(**kwargs)
+            if extras.get("inspect"):
+                outputs, attention = model(**kwargs, inspect_model=True)
+            else:
+                outputs = model(**kwargs)
         payload = {}
         for k, v in inputs.items():
             payload[f"input::{k}"] = v
         for i, out in enumerate(outputs):
             payload[f"output::{i}"] = out.detach().numpy()
+        if attention is not None:
+            for i, att in enumerate(attention):
+                payload[f"attention::{i}"] = att.detach().numpy()
         for k, v in model.state_dict().items():
             payload[f"weight::{k}"] = v.detach().numpy()
         payload["meta::model_kwargs"] = np.frombuffer(

@@ -72,7 +72,8 @@ def part_a(fixture_filter=None):
     rows = []
     for path in fixtures:
         name = os.path.basename(path)[:-4]
-        inputs, ref_outputs, weights, model_kwargs, train_mode = load_fixture(path)
+        inputs, ref_outputs, weights, model_kwargs, train_mode, *_ = \
+            load_fixture(path)
         cfg_x = TGGCNConfig.from_kwargs(**model_kwargs)
         cfg_k = TGGCNConfig.from_kwargs(**model_kwargs, use_pallas_geo_gcn=True,
                                         use_pallas_gru=True,
@@ -253,9 +254,17 @@ def main():
                     help="substring filter for part A fixtures")
     ap.add_argument("--hidden", type=int, default=512)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--precision", default=None,
+                    choices=[None, "default", "high", "highest"],
+                    help="jax_default_matmul_precision; TPU default (bf16x3 "
+                         "passes for f32) can flip marginal hard decisions "
+                         "vs the CPU-generated goldens")
     args = ap.parse_args()
 
     import jax
+
+    if args.precision and args.precision != "default":
+        jax.config.update("jax_default_matmul_precision", args.precision)
     plat = jax.devices()[0].platform
     print(f"# devices: {jax.devices()} (platform={plat})", flush=True)
     if plat not in ("tpu",):
