@@ -97,12 +97,52 @@ def main():
     trainable = {"model": params}
     opt_state = optimizer.init(trainable)
 
+    # The fused step donates its inputs; keep fresh buffers for the
+    # cross-check below.
+    crosscheck = os.environ.get("TGGCN_BENCH_CROSSCHECK", "1") != "0"
+    params_check = (jax.tree_util.tree_map(jnp.array, params)
+                    if crosscheck else None)
+
     # Warmup / compile. Sync by fetching the loss value: on the remote-TPU
     # backend block_until_ready does not reliably wait for execution.
     key = jax.random.PRNGKey(0)
     trainable, opt_state, losses, _ = fused(trainable, opt_state, key,
                                             data_stack, target_stack)
-    np.asarray(losses)
+    first_losses = np.asarray(losses)[0]
+
+    # Numerics cross-check (on unless TGGCN_BENCH_CROSSCHECK=0): the first
+    # step's per-loss values through the kernel path must agree with the
+    # plain-XLA path from the same initial state. Guards the headline number
+    # against silently-wrong compiled kernels; tolerance covers bf16
+    # recurrence noise (the kernels carry f32 VMEM state, XLA carries bf16 —
+    # measured bounds in BASELINE.md round-3 verification).
+    if crosscheck:
+        model_xla = select_model(
+            "2G-GCN", input_size=(2152, 2048), num_classes=(13, None),
+            hidden_size=hidden, gcn_node=26,
+            message_humans_to_human=True, message_human_to_objects=True,
+            message_objects_to_human=True, message_objects_to_object=True,
+            message_geometry_to_objects=True, message_segment=True,
+            message_type="v2", message_granularity="v1",
+            message_aggregation="att", attention_style="v3",
+            discrete_optimization_strategy="gs",
+            object_segment_update_strategy="ind",
+            compute_dtype="bfloat16")
+        from tggcn.train.loop import make_train_step
+
+        step_xla = make_train_step(model_xla, feeder, criterion, optimizer)
+        xla_trainable = {"model": params_check}
+        # Same per-step RNG the fused scan's first microstep consumed (the
+        # gs strategy draws Gumbel noise from it).
+        k0 = jax.random.split(key, num_steps)[0]
+        _, _, losses_xla, _ = step_xla(xla_trainable, optimizer.init(xla_trainable),
+                                       k0, data, targets)
+        losses_xla = np.asarray(losses_xla)
+        dev = np.max(np.abs(first_losses - losses_xla)
+                     / np.maximum(np.abs(losses_xla), 1e-3))
+        assert dev < 0.05, (
+            f"kernel-path first-step losses deviate {dev:.3%} from the XLA "
+            f"path: {first_losses} vs {losses_xla}")
 
     # Best of 3 trials: remote-session jitter only ever slows a trial down.
     elapsed = float("inf")

@@ -46,7 +46,8 @@ def _seg_inputs(cfg, b=2, t=6, num_humans=2, num_objects=3, seed=0):
     return x_hs, x_os, u_h, u_o, mask
 
 
-@pytest.mark.parametrize("num_humans,style", [(2, "v3"), (1, "v2")])
+@pytest.mark.parametrize("num_humans,style", [(2, "v3"), (1, "v2"),
+                                              (2, "v1"), (2, "v4")])
 def test_forward_matches_xla_fast_path(num_humans, style):
     cfg = _cfg(num_humans=num_humans, attention_style=style)
     params = init_tggcn(jax.random.PRNGKey(0), cfg)
@@ -58,6 +59,94 @@ def test_forward_matches_xla_fast_path(num_humans, style):
     for i, (a, b_) in enumerate(zip(ref, out)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-5, atol=1e-6, err_msg=f"output {i}")
+
+
+@pytest.mark.parametrize("agg", ["att", "mp"])
+def test_forward_ext_mode_matches_xla_fast_path(agg):
+    """'ext' mode: distance-based attention (all three tensors) and mean
+    pooling stream state-independent weights into the kernel."""
+    cfg = _cfg(message_aggregation=agg)
+    params = init_tggcn(jax.random.PRNGKey(3), cfg)
+    x_hs, x_os, u_h, u_o, mask = _seg_inputs(cfg, seed=21)
+    b, t, nh = u_h.shape
+    no = u_o.shape[2]
+    if agg == "att":
+        rng = np.random.default_rng(31)
+        dists3 = (rng.uniform(0.05, 2.0, (b, t, nh, nh)).astype(np.float32),
+                  rng.uniform(0.05, 2.0, (b, t, nh, no)).astype(np.float32),
+                  rng.uniform(0.05, 2.0, (b, t, no, no)).astype(np.float32))
+    else:
+        dists3 = (None, None, None)
+    assert ssp.pallas_segment_mode(cfg, dists3) == "ext"
+    ref = _segment_scan_fast(params, cfg, x_hs, x_os, u_h, u_o, mask,
+                             *dists3)
+    out = ssp.run_segment_scan_pallas(params, cfg, x_hs, x_os, u_h, u_o, mask,
+                                      interpret=True, dists3=dists3)
+    for i, (a, b_) in enumerate(zip(ref, out)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6, err_msg=f"output {i}")
+
+
+@pytest.mark.parametrize("style", ["v1", "v4"])
+def test_gradients_v1_v4_match_xla(style):
+    """Widened-mode custom VJP (XLA recompute): gradients through the
+    in-kernel v1/v4 scores, incl. the attention parameters."""
+    cfg = _cfg(attention_style=style)
+    params = init_tggcn(jax.random.PRNGKey(6), cfg)
+    x_hs, x_os, u_h, u_o, mask = _seg_inputs(cfg, seed=17)
+    seg_params = {k: params[k] for k in ssp.SEG_PARAM_KEYS}
+    h0_h = jnp.zeros((2, 2, cfg.hidden_size))
+    h0_o = jnp.zeros((2, 3, cfg.hidden_size))
+
+    def loss_pallas(sp, xh):
+        out = ssp.segment_scan_fast_pallas(cfg, True, sp, xh, x_os, u_h, u_o,
+                                           mask, h0_h, h0_o)
+        return jnp.sum(out[0] ** 2) + jnp.sum(out[1] ** 2)
+
+    def loss_xla(sp, xh):
+        out = _segment_scan_fast(sp, cfg, xh, x_os, u_h, u_o, mask,
+                                 None, None, None, seg_carry=(h0_h, h0_o))
+        return jnp.sum(out[0] ** 2) + jnp.sum(out[1] ** 2)
+
+    args = (seg_params, jnp.asarray(x_hs))
+    vp, gp = jax.value_and_grad(loss_pallas, argnums=(0, 1))(*args)
+    vx, gx = jax.value_and_grad(loss_xla, argnums=(0, 1))(*args)
+    np.testing.assert_allclose(float(vp), float(vx), rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_gradients_dist_mode_match_xla():
+    """'ext' mode VJP covers the distance tensors too."""
+    cfg = _cfg()
+    params = init_tggcn(jax.random.PRNGKey(8), cfg)
+    x_hs, x_os, u_h, u_o, mask = _seg_inputs(cfg, seed=23)
+    b, t, nh = u_h.shape
+    no = u_o.shape[2]
+    rng = np.random.default_rng(41)
+    dists3 = tuple(jnp.asarray(rng.uniform(0.05, 2.0, s).astype(np.float32))
+                   for s in [(b, t, nh, nh), (b, t, nh, no), (b, t, no, no)])
+    seg_params = {k: params[k] for k in ssp.SEG_PARAM_KEYS}
+    h0_h = jnp.zeros((b, nh, cfg.hidden_size))
+    h0_o = jnp.zeros((b, no, cfg.hidden_size))
+
+    def loss_pallas(sp, d3):
+        out = ssp.segment_scan_fast_pallas(cfg, True, sp, x_hs, x_os, u_h,
+                                           u_o, mask, h0_h, h0_o, d3)
+        return jnp.sum(out[0] ** 2) + jnp.sum(out[1] ** 2)
+
+    def loss_xla(sp, d3):
+        out = _segment_scan_fast(sp, cfg, x_hs, x_os, u_h, u_o, mask,
+                                 *d3, seg_carry=(h0_h, h0_o))
+        return jnp.sum(out[0] ** 2) + jnp.sum(out[1] ** 2)
+
+    vp, gp = jax.value_and_grad(loss_pallas, argnums=(0, 1))(seg_params, dists3)
+    vx, gx = jax.value_and_grad(loss_xla, argnums=(0, 1))(seg_params, dists3)
+    np.testing.assert_allclose(float(vp), float(vx), rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-6)
 
 
 def test_forward_with_carried_states():

@@ -159,17 +159,22 @@ class StreamingRunner:
 
         tail_starts = starts_all
         if self.fuse_group > 1 and len(fused_starts) >= 2:
-            xh = jax.device_put(x_human)
-            xo = jax.device_put(x_objects)
-            seg = (jax.device_put(human_segmentation)
-                   if human_segmentation is not None else None)
             num_humans, num_objects = x_human.shape[2], x_objects.shape[2]
             carry = self._zero_carry(b, num_humans, num_objects, x_human.dtype)
             # Fixed-size groups share one compiled program; a shorter final
             # group compiles at most one extra program per distinct size.
+            # Ingest is CHUNKED PER GROUP and interleaved with dispatch:
+            # while the device runs group g, the host pushes group g+1's
+            # slice through the (slow, host-bound) transfer path, so stream
+            # ingest overlaps compute instead of fully preceding it.
             for g0 in range(0, len(fused_starts), self.fuse_group):
                 group = fused_starts[g0: g0 + self.fuse_group]
-                starts = jnp.asarray(group, dtype=jnp.int32)
+                lo, hi = group[0], group[-1] + chunk_len
+                xh = jax.device_put(x_human[:, lo:hi])
+                xo = jax.device_put(x_objects[:, lo:hi])
+                seg = (jax.device_put(human_segmentation[:, lo:hi])
+                       if human_segmentation is not None else None)
+                starts = jnp.asarray([s - lo for s in group], dtype=jnp.int32)
                 stacked, carry = self._jitted_fused(
                     self.params, xh, xo, objects_mask, starts, carry, seg,
                     num_windows=len(group), with_seg=seg is not None)

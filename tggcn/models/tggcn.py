@@ -114,9 +114,11 @@ class TGGCNConfig:
     # Route the segment-level gated message-passing scan through the fused
     # Pallas kernel (tggcn/ops/segment_scan_pallas.py): one VMEM-resident
     # kernel step per direction instead of ~15 small XLA ops per scan step.
-    # Applies to non-relational generic configs with dot-product attention
-    # (v2/v3) and no distance tensors; other configs keep the XLA paths.
-    # Differentiable (custom VJP = the XLA fast path's gradients). TPU-only.
+    # Applies to non-relational generic configs with any attention mode
+    # (dot v2/v3, concat v1, bilinear v4, distance-based, mean pooling);
+    # relational/'specific' configs keep the XLA paths. Differentiable
+    # (hand-written Pallas VJP for bf16 dot mode; XLA-fast-path recompute
+    # VJP otherwise). TPU-only.
     use_pallas_segment_scan: bool = False
     # Activation/compute precision of the heavy path (embedding MLPs, frame
     # BiGRUs, messages, segment scan). 'bfloat16' casts inputs and the
@@ -618,18 +620,20 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
                                             human_object_distances,
                                             object_object_distances))
     seg_carry = (carry.get("seg_human"), carry.get("seg_object"))
+    dists3 = (human_human_distances, human_object_distances,
+              object_object_distances)
     use_pallas_seg = False
     if cfg.use_pallas_segment_scan:
         from tggcn.ops.segment_scan_pallas import (
-            pallas_segment_scan_applicable,
+            pallas_segment_mode,
             run_segment_scan_pallas,
         )
 
-        use_pallas_seg = pallas_segment_scan_applicable(cfg, use_dists)
+        use_pallas_seg = pallas_segment_mode(cfg, dists3) is not None
     if use_pallas_seg:
         seg = run_segment_scan_pallas(params, cfg, x_hs, x_os, u_h_used,
                                       u_o_used, objects_mask,
-                                      seg_carry=seg_carry)
+                                      seg_carry=seg_carry, dists3=dists3)
     elif _fast_segment_scan_applicable(cfg, use_dists):
         seg = _segment_scan_fast(params, cfg, x_hs, x_os, u_h_used, u_o_used,
                                  objects_mask, human_human_distances,

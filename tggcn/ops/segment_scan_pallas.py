@@ -10,14 +10,18 @@ step in VMEM: the recurrent states stay resident across all T grid steps,
 every weight is loaded once, and per-step HBM traffic is just the
 precomputed base-gate block in and the state block out.
 
-Scope (the headline configuration): non-relational generic messages on all
-four entity edges, dot-product attention (v2 / scaled v3), no distance
-tensors. Other configurations keep the XLA paths.
+Scope: non-relational generic messages on all four entity edges, with every
+attention mode of the XLA fast path — dot-product (v2 / scaled v3, the
+headline), concat-MLP (v1), bilinear (v4), and externally-streamed weights
+for mean pooling and distance-based attention (state-independent, computed
+outside for all T at once). Relational / 'specific' configurations keep the
+XLA paths (see pallas_segment_mode).
 
-Training: custom VJP in the geo_gcn_pallas.py style — the backward is the
-VJP of the numerically identical XLA fast path (recompute), so the kernel
-accelerates the forward scan (and inference/streaming end-to-end) while
-gradients remain exactly the XLA path's.
+Training: 'dot' mode has a HAND-WRITTEN Pallas backward (used for sub-f32
+compute dtypes); every mode also has a custom VJP that recomputes through
+the numerically identical XLA fast path, so the kernel accelerates the
+forward scan (and inference/streaming end-to-end) while gradients remain
+exactly the XLA path's.
 
 Layout per direction (time-major):
   gi_h (T, B, H, 3h)  base input gates (x_hs @ w_ih[:base] + b, hoisted out)
@@ -41,14 +45,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(scale: float):
-    def kernel(gi_h_ref, gi_o_ref, u_h_ref, u_o_ref,
-               w_from_ref, b_from_ref, w_msg_h_ref, w_msg_o_ref,
-               w_hh_h_ref, w_hh_o_ref, b_hh_h_ref, b_hh_o_ref,
-               mask_hh_ref, mask_obj_ref, eye_oo_ref,
-               h0_h_ref, h0_o_ref,
-               out_h_ref, out_o_ref, att_ref,
-               scr_h, scr_o):
+def _make_kernel(scale: float, mode: str = "dot"):
+    """Forward step kernel. `mode` selects the attention scoring:
+      * 'dot' — (scaled) dot product, v2/v3 (the headline configuration);
+      * 'v1'  — single-layer concat MLP decomposed into receiver + sender
+                projections (extra refs: w_att (4, 2h, 1), b_att (4, 1));
+      * 'v4'  — bilinear 'general' form (extra refs: w_att (4, h, h),
+                b_att (4, 1));
+      * 'ext' — attention weights precomputed OUTSIDE the kernel and
+                streamed per step (4 extra time-blocked refs, edge order
+                hh, oh, ho, oo). Covers distance-based attention and mean
+                pooling, whose weights do not depend on the recurrent state.
+    """
+    def kernel(*refs):
+        (gi_h_ref, gi_o_ref, u_h_ref, u_o_ref), refs = refs[:4], refs[4:]
+        a_refs = w_att_ref = b_att_ref = None
+        if mode == "ext":
+            a_refs, refs = refs[:4], refs[4:]
+        elif mode in ("v1", "v4"):
+            (w_att_ref, b_att_ref), refs = refs[:2], refs[2:]
+        (w_from_ref, b_from_ref, w_msg_h_ref, w_msg_o_ref,
+         w_hh_h_ref, w_hh_o_ref, b_hh_h_ref, b_hh_o_ref,
+         mask_hh_ref, mask_obj_ref, eye_oo_ref,
+         h0_h_ref, h0_o_ref,
+         out_h_ref, out_o_ref, att_ref,
+         scr_h, scr_o) = refs
         @pl.when(pl.program_id(0) == 0)
         def _():
             scr_h[:] = h0_h_ref[:].astype(jnp.float32)
@@ -91,12 +112,45 @@ def _make_kernel(scale: float):
             d = jnp.sum(e, axis=-1, keepdims=True)
             return e / jnp.maximum(d, 1e-30)
 
+        def scores_v1(recv, send, e):
+            # relu(recv @ wq + (send @ wk)^T + b): the concat MLP's single
+            # layer splits row-wise into receiver/sender projections.
+            nr, ns = recv.shape[1], send.shape[1]
+            wa = w_att_ref[e]                                    # (2h, 1)
+            q = jnp.dot(recv.reshape(b * nr, hd).astype(wa.dtype), wa[:hd],
+                        preferred_element_type=f32).reshape(b, nr, 1)
+            k = jnp.dot(send.reshape(b * ns, hd).astype(wa.dtype), wa[hd:],
+                        preferred_element_type=f32).reshape(b, 1, ns)
+            return jnp.maximum(q + k + b_att_ref[e].astype(f32)[0], 0.0)
+
+        def scores_v4(recv, send, e):
+            # relu(recv @ W @ send^T + b), the bilinear 'general' form.
+            nr = recv.shape[1]
+            wa = w_att_ref[e]                                    # (h, h)
+            tmp = jnp.dot(recv.reshape(b * nr, hd).astype(wa.dtype), wa,
+                          preferred_element_type=f32).reshape(b, nr, hd)
+            s = jax.lax.dot_general(
+                tmp.astype(wa.dtype), send,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32)
+            return jnp.maximum(s + b_att_ref[e].astype(f32)[0], 0.0)
+
         mask_obj = mask_obj_ref[:].astype(f32)[:, None, :]       # (B, 1, O)
-        a_hh = msoftmax(scores(h_h, h_h), mask_hh_ref[:].astype(f32)[None])
-        a_oh = msoftmax(scores(h_h, h_o), mask_obj)
-        a_ho = msoftmax(scores(h_o, h_h), jnp.ones((1, 1, nh), f32))
-        a_oo = msoftmax(scores(h_o, h_o),
-                        mask_obj * eye_oo_ref[:].astype(f32)[None])
+        if mode == "ext":
+            a_hh, a_oh, a_ho, a_oo = (a_refs[i][0].astype(f32)
+                                      for i in range(4))
+        else:
+            if mode == "v1":
+                sc = scores_v1
+            elif mode == "v4":
+                sc = scores_v4
+            else:
+                sc = lambda recv, send, e: scores(recv, send)
+            a_hh = msoftmax(sc(h_h, h_h, 0), mask_hh_ref[:].astype(f32)[None])
+            a_oh = msoftmax(sc(h_h, h_o, 1), mask_obj)
+            a_ho = msoftmax(sc(h_o, h_h, 2), jnp.ones((1, 1, nh), f32))
+            a_oo = msoftmax(sc(h_o, h_o, 3),
+                            mask_obj * eye_oo_ref[:].astype(f32)[None])
 
         def mix(att, msg):
             return jax.lax.dot_general(
@@ -151,19 +205,29 @@ def _full():
     return pl.BlockSpec(memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "reverse", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "reverse", "interpret",
+                                             "mode"))
 def _seg_dir_pallas(gi_h, gi_o, u_h, u_o, w_from, b_from, w_msg_h, w_msg_o,
                     w_hh_h, w_hh_o, b_hh_h, b_hh_o, mask_hh, mask_obj, eye_oo,
-                    h0_h, h0_o, scale: float, reverse: bool, interpret: bool):
+                    h0_h, h0_o, scale: float, reverse: bool, interpret: bool,
+                    mode: str = "dot", att_ws=None, w_att=None, b_att=None):
     t, b, nh, g3 = gi_h.shape
     no = gi_o.shape[2]
     hd = g3 // 3
     dtype = gi_h.dtype
+    extra_ops, extra_specs = [], []
+    if mode == "ext":
+        extra_ops = list(att_ws)                  # (T,B,R,S) per edge
+        extra_specs = [_tspec(t, a.shape[1:], reverse) for a in att_ws]
+    elif mode in ("v1", "v4"):
+        extra_ops = [w_att, b_att]
+        extra_specs = [_full(), _full()]
     out_h, out_o, att = pl.pallas_call(
-        _make_kernel(scale),
+        _make_kernel(scale, mode),
         grid=(t,),
         in_specs=[_tspec(t, (b, nh, g3), reverse), _tspec(t, (b, no, g3), reverse),
                   _tspec(t, (b, nh), reverse), _tspec(t, (b, no), reverse),
+                  *extra_specs,
                   _full(), _full(), _full(), _full(), _full(), _full(),
                   _full(), _full(), _full(), _full(), _full(), _full(), _full()],
         out_specs=(_tspec(t, (b, nh, hd), reverse),
@@ -178,7 +242,7 @@ def _seg_dir_pallas(gi_h, gi_o, u_h, u_o, w_from, b_from, w_msg_h, w_msg_o,
         # budget under-provisions the pipeline's buffers; v5e has headroom.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(gi_h, gi_o, u_h, u_o, w_from, b_from, w_msg_h, w_msg_o,
+    )(gi_h, gi_o, u_h, u_o, *extra_ops, w_from, b_from, w_msg_h, w_msg_o,
       w_hh_h, w_hh_o, b_hh_h, b_hh_o, mask_hh, mask_obj, eye_oo, h0_h, h0_o)
     return out_h, out_o, att
 
@@ -539,14 +603,88 @@ def _collect(params, cfg, dtype):
     return w_from, b_from, cell, scale
 
 
-def pallas_segment_scan_applicable(cfg, use_dists: bool) -> bool:
+def pallas_segment_mode(cfg, dists3=(None, None, None)):
+    """Kernel attention mode for this configuration, or None if the kernel
+    does not apply (falls back to the XLA paths).
+
+    'dot' (v2/v3) is the headline mode and the only one with the
+    hand-written Pallas backward; 'v1'/'v4' compute their scores in-kernel;
+    'ext' streams state-independent weights (mean pooling, distance-based
+    attention with all three tensors present) computed outside.
+    """
     from tggcn.models.tggcn import _fast_segment_scan_applicable
 
-    return (_fast_segment_scan_applicable(cfg, use_dists)
-            and not use_dists
-            and cfg.attention
-            and cfg.attention_style in {"v2", "dot-product",
-                                        "v3", "scaled_dot-product"})
+    use_dists = any(d is not None for d in dists3)
+    if not _fast_segment_scan_applicable(cfg, use_dists):
+        return None
+    if cfg.message_aggregation in {"mp", "mean_pooling"}:
+        return "ext"
+    if use_dists:
+        # Mixed computed/distance edges stay on the XLA fast path.
+        return "ext" if all(d is not None for d in dists3) else None
+    style = cfg.attention_style
+    if style in {"v2", "dot-product", "v3", "scaled_dot-product"}:
+        return "dot"
+    if style in {"v1", "concat"}:
+        return "v1"
+    if style in {"v4", "general"}:
+        return "v4"
+    return None
+
+
+def pallas_segment_scan_applicable(cfg, use_dists: bool) -> bool:
+    """Back-compat boolean gate (no-dist configurations)."""
+    return pallas_segment_mode(cfg, (None, None, None)) is not None \
+        and not use_dists
+
+
+def _collect_att(params, cfg, mode, dtype):
+    """Stack the v1/v4 attention parameters in kernel layout."""
+    h = cfg.hidden_size
+    edges = ("h2h", "o2h", "h2o", "o2o")  # kernel edge order hh, oh, ho, oo
+    if mode == "v1":
+        ws, bs = [], []
+        for e in edges:
+            layer = params[e]["segment"]["att"]["layers"][0]
+            ws.append(layer["w"])                          # (2h, 1)
+            bs.append(layer.get("b", jnp.zeros(1, dtype)))
+        return jnp.stack(ws), jnp.stack(bs)                # (4,2h,1), (4,1)
+    if mode == "v4":
+        ws, bs = [], []
+        for e in edges:
+            bil = params[e]["segment"]["att"]
+            ws.append(bil["w"][0])                         # (h, h)
+            bs.append(bil["b"][:1] if "b" in bil else jnp.zeros(1, dtype))
+        return jnp.stack(ws), jnp.stack(bs)                # (4,h,h), (4,1)
+    return None, None
+
+
+def _external_att_weights(cfg, dists3, objects_mask, b, t, nh, no, dtype):
+    """Time-major state-independent attention weights for 'ext' mode
+    (mean pooling, or inverse-distance attention), edge order hh, oh, ho,
+    oo. Differentiable w.r.t. the distance tensors."""
+    from tggcn.nn.messages import (distance_based_attention_weights,
+                                   masked_softmax)  # noqa: F401
+
+    mask_hh = (1.0 - jnp.eye(nh, dtype=dtype))[None, None]        # (1,1,H,H)
+    mask_oh = objects_mask.astype(dtype)[None, :, None, :]        # (1,B,1,O)
+    mask_ho = jnp.ones((1, 1, 1, nh), dtype)
+    mask_oo = mask_oh * (1.0 - jnp.eye(no, dtype=dtype))[None, None]
+    if cfg.message_aggregation in {"mp", "mean_pooling"}:
+        def uniform(mask, r, s):
+            full = jnp.broadcast_to(mask, (1, b, r, s)).astype(dtype)
+            w = full / jnp.clip(jnp.sum(full, axis=-1, keepdims=True), min=1.0)
+            return jnp.broadcast_to(w, (t, b, r, s))
+        return (uniform(mask_hh, nh, nh), uniform(mask_oh, nh, no),
+                uniform(mask_ho, no, nh), uniform(mask_oo, no, no))
+    hh_d, ho_d, oo_d = dists3
+    tm = lambda d: jnp.moveaxis(d, 1, 0)                          # (T,B,R,S)
+    def dist_w(d, mask):
+        full = jnp.broadcast_to(mask, d.shape).astype(dtype)
+        return distance_based_attention_weights(d, full)
+    return (dist_w(tm(hh_d), mask_hh), dist_w(tm(ho_d), mask_oh),
+            dist_w(jnp.swapaxes(tm(ho_d), -1, -2), mask_ho),
+            dist_w(tm(oo_d), mask_oo))
 
 
 def _base_gates(params, cell_name, x):
@@ -558,12 +696,19 @@ def _base_gates(params, cell_name, x):
 
 
 def _seg_fast_pallas_impl(cfg, interpret, seg_params, x_hs, x_os, u_h, u_o,
-                          objects_mask, seg_h0, seg_o0, kernel_vjp=False):
+                          objects_mask, seg_h0, seg_o0, kernel_vjp=False,
+                          dists3=(None, None, None)):
     b, t, num_humans, base_h = x_hs.shape
     num_objects, base_o = x_os.shape[2], x_os.shape[-1]
     h = cfg.hidden_size
     dtype = x_hs.dtype
     w_from, b_from, cell, scale = _collect(seg_params, cfg, dtype)
+    mode = pallas_segment_mode(cfg, dists3) or "dot"
+    w_att, b_att = _collect_att(seg_params, cfg, mode, dtype)
+    att_ws = None
+    if mode == "ext":
+        att_ws = _external_att_weights(cfg, dists3, objects_mask, b, t,
+                                       num_humans, num_objects, dtype)
 
     tm = lambda a: jnp.moveaxis(a, 1, 0)
     u_h_t, u_o_t = tm(u_h), tm(u_o)
@@ -589,12 +734,19 @@ def _seg_fast_pallas_impl(cfg, interpret, seg_params, x_hs, x_os, u_h, u_o,
                 w_msg_h, w_msg_o, w_hh_h, w_hh_o, b_hh_h, b_hh_o,
                 mask_hh, objects_mask.astype(dtype), eye_oo, h0_h, h0_o)
         if kernel_vjp:
+            assert mode == "dot", "hand-written VJP covers 'dot' mode only"
             return _seg_dir(float(scale), reverse, interpret, *args)
         return _seg_dir_pallas(*args, scale=float(scale), reverse=reverse,
-                               interpret=interpret)
+                               interpret=interpret, mode=mode,
+                               att_ws=att_ws, w_att=w_att, b_att=b_att)
 
     hf_h, hf_o, att_f = run_dir("fwd")
     hb_h, hb_o, att_b = run_dir("bwd")
+    if cfg.message_aggregation in {"mp", "mean_pooling"}:
+        # Mean pooling has no attention scores; the XLA paths (and the
+        # reference) emit zeros for the attention outputs.
+        att_f = jnp.zeros_like(att_f)
+        att_b = jnp.zeros_like(att_b)
 
     def order(f, bwd):
         return jnp.concatenate([jnp.moveaxis(f, 0, 1), jnp.moveaxis(bwd, 0, 1)],
@@ -606,33 +758,38 @@ def _seg_fast_pallas_impl(cfg, interpret, seg_params, x_hs, x_os, u_h, u_o,
 
 
 def _seg_fast_xla(cfg, seg_params, x_hs, x_os, u_h, u_o, objects_mask,
-                  seg_h0, seg_o0):
+                  seg_h0, seg_o0, dists3=(None, None, None)):
     from tggcn.models.tggcn import _segment_scan_fast
 
     return _segment_scan_fast(seg_params, cfg, x_hs, x_os, u_h, u_o,
-                              objects_mask, None, None, None,
+                              objects_mask, dists3[0], dists3[1], dists3[2],
                               seg_carry=(seg_h0, seg_o0))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def segment_scan_fast_pallas(cfg, interpret, seg_params, x_hs, x_os, u_h, u_o,
-                             objects_mask, seg_h0, seg_o0):
+                             objects_mask, seg_h0, seg_o0,
+                             dists3=(None, None, None)):
     """Differentiable fused segment scan: Pallas forward, XLA-fast-path VJP.
 
     Semantics identical to _segment_scan_fast (equivalence-tested); the
     backward recomputes through the XLA path, so training gradients are
     bit-for-bit the XLA fast path's while forward/inference runs the fused
-    kernel.
+    kernel. Covers every kernel mode (dot/v1/v4/ext), incl. gradients
+    w.r.t. the distance tensors.
     """
     return _seg_fast_pallas_impl(cfg, interpret, seg_params, x_hs, x_os,
-                                 u_h, u_o, objects_mask, seg_h0, seg_o0)
+                                 u_h, u_o, objects_mask, seg_h0, seg_o0,
+                                 dists3=dists3)
 
 
 def _seg_fwd(cfg, interpret, seg_params, x_hs, x_os, u_h, u_o, objects_mask,
-             seg_h0, seg_o0):
+             seg_h0, seg_o0, dists3=(None, None, None)):
     out = _seg_fast_pallas_impl(cfg, interpret, seg_params, x_hs, x_os,
-                                u_h, u_o, objects_mask, seg_h0, seg_o0)
-    return out, (seg_params, x_hs, x_os, u_h, u_o, objects_mask, seg_h0, seg_o0)
+                                u_h, u_o, objects_mask, seg_h0, seg_o0,
+                                dists3=dists3)
+    return out, (seg_params, x_hs, x_os, u_h, u_o, objects_mask, seg_h0,
+                 seg_o0, dists3)
 
 
 def _seg_bwd(cfg, interpret, residuals, g):
@@ -650,7 +807,8 @@ SEG_PARAM_KEYS = ("human_segment_rnn_fcell", "human_segment_rnn_bcell",
 
 def run_segment_scan_pallas(params, cfg, x_hs, x_os, u_h, u_o, objects_mask,
                             seg_carry=(None, None), interpret: bool = False,
-                            vjp_mode: str = "auto"):
+                            vjp_mode: str = "auto",
+                            dists3=(None, None, None)):
     """apply_tggcn-facing wrapper: filters the segment-relevant parameters
     (so the custom VJP's cotangent covers exactly them) and materialises the
     zero carries.
@@ -659,8 +817,10 @@ def run_segment_scan_pallas(params, cfg, x_hs, x_os, u_h, u_o, objects_mask,
       * 'kernel' — the hand-written Pallas backward (_seg_dir): reverse-time
         sweep in VMEM, no XLA recompute. Both weight copies must fit VMEM,
         which holds for bfloat16 activations at hidden 512 but NOT float32.
+        Only implemented for 'dot' attention (the headline configuration).
       * 'xla' — custom VJP that recomputes through the XLA fast path.
-      * 'auto' — 'kernel' for sub-float32 compute dtypes, 'xla' otherwise.
+      * 'auto' — 'kernel' for sub-float32 compute dtypes in 'dot' mode,
+        'xla' otherwise.
     """
     b = x_hs.shape[0]
     h = cfg.hidden_size
@@ -671,11 +831,14 @@ def run_segment_scan_pallas(params, cfg, x_hs, x_os, u_h, u_o, objects_mask,
         seg_h0 = jnp.zeros((b, x_hs.shape[2], h), dtype)
     if seg_o0 is None:
         seg_o0 = jnp.zeros((b, x_os.shape[2], h), dtype)
+    mode = pallas_segment_mode(cfg, dists3) or "dot"
     if vjp_mode == "auto":
-        vjp_mode = "kernel" if dtype != jnp.float32 else "xla"
+        vjp_mode = ("kernel" if dtype != jnp.float32 and mode == "dot"
+                    else "xla")
     if vjp_mode == "kernel":
         return _seg_fast_pallas_impl(cfg, interpret, seg_params, x_hs, x_os,
                                      u_h, u_o, objects_mask, seg_h0, seg_o0,
-                                     kernel_vjp=True)
+                                     kernel_vjp=True, dists3=dists3)
     return segment_scan_fast_pallas(cfg, interpret, seg_params, x_hs, x_os,
-                                    u_h, u_o, objects_mask, seg_h0, seg_o0)
+                                    u_h, u_o, objects_mask, seg_h0, seg_o0,
+                                    dists3)

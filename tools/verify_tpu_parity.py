@@ -82,17 +82,29 @@ def part_a(fixture_filter=None):
         seg_on = pallas_segment_scan_applicable(cfg_k, use_dists)
         params = tggcn_params_from_torch_state_dict(weights, cfg_x)
         row = {"fixture": name, "seg_kernel": bool(seg_on), "status": "ok"}
-        try:
-            # jit both paths: eager dispatch would round-trip the remote TPU
-            # tunnel once per op.
-            fx = jax.jit(lambda p, c=cfg_x: apply_tggcn(
-                p, c, train=train_mode, rng=jax.random.PRNGKey(0), **inputs)[0])
-            fk = jax.jit(lambda p, c=cfg_k: apply_tggcn(
-                p, c, train=train_mode, rng=jax.random.PRNGKey(0), **inputs)[0])
-            out_x = [np.asarray(o) for o in fx(params)]
-            out_k = [np.asarray(o) for o in fk(params)]
-        except Exception as e:  # noqa: BLE001 — record, keep going
-            row["status"] = f"FAIL: {type(e).__name__}: {str(e)[:300]}"
+        # jit both paths: eager dispatch would round-trip the remote TPU
+        # tunnel once per op. Retry on remote_compile errors: the axon
+        # compile-helper SIGABRTs transiently (observed: the same fixture
+        # crashing and then compiling clean moments later).
+        err = None
+        for attempt in range(3):
+            try:
+                fx = jax.jit(lambda p, c=cfg_x: apply_tggcn(
+                    p, c, train=train_mode, rng=jax.random.PRNGKey(0),
+                    **inputs)[0])
+                fk = jax.jit(lambda p, c=cfg_k: apply_tggcn(
+                    p, c, train=train_mode, rng=jax.random.PRNGKey(0),
+                    **inputs)[0])
+                out_x = [np.asarray(o) for o in fx(params)]
+                out_k = [np.asarray(o) for o in fk(params)]
+                err = None
+                break
+            except Exception as e:  # noqa: BLE001 — record, keep going
+                err = e
+                if "remote_compile" not in str(e):
+                    break
+        if err is not None:
+            row["status"] = f"FAIL: {type(err).__name__}: {str(err)[:300]}"
             rows.append(row)
             print(json.dumps(row), flush=True)
             continue
@@ -254,6 +266,7 @@ def main():
                     help="substring filter for part A fixtures")
     ap.add_argument("--hidden", type=int, default=512)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--out", default=OUT_PATH)
     ap.add_argument("--precision", default=None,
                     choices=[None, "default", "high", "highest"],
                     help="jax_default_matmul_precision; TPU default (bf16x3 "
@@ -276,9 +289,9 @@ def main():
         out["part_a"] = part_a(args.fixtures)
     if args.part in ("b", "all"):
         out["part_b"] = part_b(hidden=args.hidden, dtype_name=args.dtype)
-    with open(OUT_PATH, "w") as f:
+    with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
-    print(f"# wrote {OUT_PATH}", flush=True)
+    print(f"# wrote {args.out}", flush=True)
 
 
 if __name__ == "__main__":
