@@ -120,6 +120,12 @@ class TGGCNConfig:
     # (hand-written Pallas VJP for bf16 dot mode; XLA-fast-path recompute
     # VJP otherwise). TPU-only.
     use_pallas_segment_scan: bool = False
+    # Run BOTH segment-scan directions in ONE Pallas kernel launch, stacked
+    # on the batch axis ('dot' attention mode): the direction-shared
+    # message/attention matmuls get 2x the rows at near-identical MXU cost
+    # and the per-grid-step overhead is paid once. False = one launch per
+    # direction (round-2 behaviour).
+    segment_fuse_directions: bool = True
     # Activation/compute precision of the heavy path (embedding MLPs, frame
     # BiGRUs, messages, segment scan). 'bfloat16' casts inputs and the
     # heavy-path parameters at apply entry — master parameters stay float32

@@ -45,7 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(scale: float, mode: str = "dot"):
+def _make_kernel(scale: float, mode: str = "dot", fuse_dirs: bool = False):
     """Forward step kernel. `mode` selects the attention scoring:
       * 'dot' — (scaled) dot product, v2/v3 (the headline configuration);
       * 'v1'  — single-layer concat MLP decomposed into receiver + sender
@@ -56,6 +56,14 @@ def _make_kernel(scale: float, mode: str = "dot"):
                 streamed per step (4 extra time-blocked refs, edge order
                 hh, oh, ho, oo). Covers distance-based attention and mean
                 pooling, whose weights do not depend on the recurrent state.
+
+    `fuse_dirs`: BOTH scan directions run in this one kernel, stacked on the
+    batch axis (rows [:B] forward, [B:] backward with time-PRE-FLIPPED
+    inputs, so the fused scan is a single forward-order scan). Messages and
+    attention use direction-SHARED weights and batch over 2B rows — an MXU
+    matmul over 32 rows costs the same as over 16, so this nearly halves
+    the sequential small-op cost; only the GRU cells carry per-direction
+    weights (leading axis 2) and split the rows.
     """
     def kernel(*refs):
         (gi_h_ref, gi_o_ref, u_h_ref, u_o_ref), refs = refs[:4], refs[4:]
@@ -160,21 +168,45 @@ def _make_kernel(scale: float, mode: str = "dot"):
         msgs_h = jnp.concatenate([mix(a_hh, m_hh), mix(a_oh, m_oh)], axis=-1)
         msgs_o = jnp.concatenate([mix(a_ho, m_ho), mix(a_oo, m_oo)], axis=-1)
 
-        def cell(gi_base, msgs, u, h_prev, w_msg_ref, w_hh_ref, b_hh_ref):
-            rows = h_prev.shape[0] * h_prev.shape[1]
-            gi = (gi_base[0].astype(f32)
-                  + jnp.dot(msgs.reshape(rows, 2 * hd).astype(wdt),
-                            w_msg_ref[:],
-                            preferred_element_type=f32).reshape(gi_base.shape[1:]))
-            gh = (jnp.dot(h_prev.reshape(rows, hd).astype(wdt), w_hh_ref[:],
-                          preferred_element_type=f32).reshape(gi.shape)
-                  + b_hh_ref[:].astype(f32))
+        def gru_update(gi, gh, h_prev, u_slice):
             r = jax.nn.sigmoid(gi[..., :hd] + gh[..., :hd])
             z = jax.nn.sigmoid(gi[..., hd:2 * hd] + gh[..., hd:2 * hd])
             n = jnp.tanh(gi[..., 2 * hd:] + r * gh[..., 2 * hd:])
             h_new = (1.0 - z) * n + z * h_prev
-            uu = u[0].astype(f32)[..., None]
+            uu = u_slice.astype(f32)[..., None]
             return uu * h_new + (1.0 - uu) * h_prev
+
+        def cell(gi_base, msgs, u, h_prev, w_msg_ref, w_hh_ref, b_hh_ref):
+            if not fuse_dirs:
+                rows = h_prev.shape[0] * h_prev.shape[1]
+                gi = (gi_base[0].astype(f32)
+                      + jnp.dot(msgs.reshape(rows, 2 * hd).astype(wdt),
+                                w_msg_ref[:],
+                                preferred_element_type=f32)
+                      .reshape(gi_base.shape[1:]))
+                gh = (jnp.dot(h_prev.reshape(rows, hd).astype(wdt), w_hh_ref[:],
+                              preferred_element_type=f32).reshape(gi.shape)
+                      + b_hh_ref[:].astype(f32))
+                return gru_update(gi, gh, h_prev, u[0])
+            # Per-direction cell weights (leading axis 2) over row halves.
+            bh = b // 2
+            w_msg = w_msg_ref[:]
+            w_hh = w_hh_ref[:]
+            b_hh = b_hh_ref[:]
+            halves = []
+            for d in range(2):
+                sl = slice(d * bh, (d + 1) * bh)
+                hp = h_prev[sl]
+                rows = hp.shape[0] * hp.shape[1]
+                gi = (gi_base[0, sl].astype(f32)
+                      + jnp.dot(msgs[sl].reshape(rows, 2 * hd).astype(wdt),
+                                w_msg[d], preferred_element_type=f32)
+                      .reshape(hp.shape[:2] + (3 * hd,)))
+                gh = (jnp.dot(hp.reshape(rows, hd).astype(wdt), w_hh[d],
+                              preferred_element_type=f32).reshape(gi.shape)
+                      + b_hh[d].astype(f32))
+                halves.append(gru_update(gi, gh, hp, u[0, sl]))
+            return jnp.concatenate(halves, axis=0)
 
         h_h_out = cell(gi_h_ref[:], msgs_h, u_h_ref[:], h_h,
                        w_msg_h_ref, w_hh_h_ref, b_hh_h_ref)
@@ -206,11 +238,12 @@ def _full():
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "reverse", "interpret",
-                                             "mode"))
+                                             "mode", "fuse_dirs"))
 def _seg_dir_pallas(gi_h, gi_o, u_h, u_o, w_from, b_from, w_msg_h, w_msg_o,
                     w_hh_h, w_hh_o, b_hh_h, b_hh_o, mask_hh, mask_obj, eye_oo,
                     h0_h, h0_o, scale: float, reverse: bool, interpret: bool,
-                    mode: str = "dot", att_ws=None, w_att=None, b_att=None):
+                    mode: str = "dot", att_ws=None, w_att=None, b_att=None,
+                    fuse_dirs: bool = False):
     t, b, nh, g3 = gi_h.shape
     no = gi_o.shape[2]
     hd = g3 // 3
@@ -223,7 +256,7 @@ def _seg_dir_pallas(gi_h, gi_o, u_h, u_o, w_from, b_from, w_msg_h, w_msg_o,
         extra_ops = [w_att, b_att]
         extra_specs = [_full(), _full()]
     out_h, out_o, att = pl.pallas_call(
-        _make_kernel(scale, mode),
+        _make_kernel(scale, mode, fuse_dirs),
         grid=(t,),
         in_specs=[_tspec(t, (b, nh, g3), reverse), _tspec(t, (b, no, g3), reverse),
                   _tspec(t, (b, nh), reverse), _tspec(t, (b, no), reverse),
@@ -247,7 +280,7 @@ def _seg_dir_pallas(gi_h, gi_o, u_h, u_o, w_from, b_from, w_msg_h, w_msg_o,
     return out_h, out_o, att
 
 
-def _make_bwd_kernel(scale: float):
+def _make_bwd_kernel(scale: float, fuse_dirs: bool = False):
     """Reverse-time backward step: recompute messages/attention/gates from
     the streamed h_prev, push dL/dh one step back, emit the per-step grads
     whose weight reductions happen outside as large MXU einsums.
@@ -297,6 +330,21 @@ def _make_bwd_kernel(scale: float):
         def unrows(x, e):
             return x.reshape(b, e, x.shape[-1])
 
+        def dotT(x3, w):
+            """rows(x3) @ w^T with per-direction weights when fused
+            (row order is batch-major, so half slices stay contiguous)."""
+            def one(xd, wd):
+                return jax.lax.dot_general(
+                    rows(xd), wd,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+            if not fuse_dirs:
+                return one(x3, w)
+            bh = b // 2
+            return jnp.concatenate(
+                [one(x3[d * bh:(d + 1) * bh], w[d]) for d in range(2)],
+                axis=0)
+
         def relu_proj(x, idx):
             y = jnp.dot(rows(x), wf[idx], preferred_element_type=f32)
             y = y + b_from_ref[idx].astype(f32)
@@ -339,18 +387,31 @@ def _make_bwd_kernel(scale: float):
         msgs_o_ref[0] = msgs_o.astype(msgs_o_ref.dtype)
 
         def gates(gi_base, msgs, h_prev, w_msg, w_hh, b_hh_ref):
-            gi = (gi_base[0].astype(f32)
-                  + jnp.dot(rows(msgs), w_msg,
-                            preferred_element_type=f32)
-                  .reshape(gi_base.shape[1:]))
-            gh = (jnp.dot(rows(h_prev), w_hh,
-                          preferred_element_type=f32).reshape(gi.shape)
-                  + b_hh_ref[:].astype(f32))
-            r = jax.nn.sigmoid(gi[..., :hd] + gh[..., :hd]).astype(cdt)
-            z = jax.nn.sigmoid(gi[..., hd:2 * hd] + gh[..., hd:2 * hd]).astype(cdt)
-            hn = gh[..., 2 * hd:].astype(cdt)
-            n = jnp.tanh(gi[..., 2 * hd:].astype(cdt) + r * hn)
-            return r, z, n, hn
+            def one(gi_b, msgs_d, hp, w_msg_d, w_hh_d, b_hh_d):
+                gi = (gi_b.astype(f32)
+                      + jnp.dot(rows(msgs_d), w_msg_d,
+                                preferred_element_type=f32)
+                      .reshape(gi_b.shape))
+                gh = (jnp.dot(rows(hp), w_hh_d,
+                              preferred_element_type=f32).reshape(gi.shape)
+                      + b_hh_d.astype(f32))
+                r = jax.nn.sigmoid(gi[..., :hd] + gh[..., :hd]).astype(cdt)
+                z = jax.nn.sigmoid(gi[..., hd:2 * hd]
+                                   + gh[..., hd:2 * hd]).astype(cdt)
+                hn = gh[..., 2 * hd:].astype(cdt)
+                n = jnp.tanh(gi[..., 2 * hd:].astype(cdt) + r * hn)
+                return r, z, n, hn
+            if not fuse_dirs:
+                return one(gi_base[0], msgs, h_prev, w_msg, w_hh,
+                           b_hh_ref[:])
+            bh = b // 2
+            b_hh = b_hh_ref[:]
+            parts = [one(gi_base[0, d * bh:(d + 1) * bh],
+                         msgs[d * bh:(d + 1) * bh],
+                         h_prev[d * bh:(d + 1) * bh],
+                         w_msg[d], w_hh[d], b_hh[d]) for d in range(2)]
+            return tuple(jnp.concatenate([p[i] for p in parts], axis=0)
+                         for i in range(4))
 
         r_h, z_h, n_h, hn_h = gates(gi_h_ref[:], msgs_h, h_h,
                                     wmh, whh_h, b_hh_h_ref)
@@ -384,10 +445,8 @@ def _make_bwd_kernel(scale: float):
             dgh_ref[0, :, :, 2 * hd:] = dgh_n.astype(odt)
             dgi = jnp.concatenate([d_ir, d_iz, dtanh], axis=-1)
             dgh = jnp.concatenate([d_ir, d_iz, dgh_n], axis=-1)
-            dhprev = dhprev + (dh_new * z).astype(f32) + jax.lax.dot_general(
-                rows(dgh), w_hh,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=f32).reshape(h_prev.shape)
+            dhprev = dhprev + (dh_new * z).astype(f32) \
+                + dotT(dgh, w_hh).reshape(h_prev.shape)
             return dgi, dhprev
 
         dgi_h, dhprev_h = cell_bwd(g_h_ref, dh_h_scr[:], u_h_ref,
@@ -399,10 +458,7 @@ def _make_bwd_kernel(scale: float):
 
         # ---- Backward through messages / attention ------------------------
         def dmsgs_of(dgi, w_msg, e):
-            return unrows(jax.lax.dot_general(
-                rows(dgi), w_msg,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=f32).astype(cdt), e)
+            return unrows(dotT(dgi, w_msg).astype(cdt), e)
 
         dmsgs_h = dmsgs_of(dgi_h, wmh, nh)           # (B, H, 2h)
         dmsgs_o = dmsgs_of(dgi_o, wmo, no)
@@ -461,12 +517,14 @@ def _make_bwd_kernel(scale: float):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "reverse", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "reverse", "interpret",
+                                             "fuse_dirs"))
 def _seg_dir_bwd_pallas(gi_h, gi_o, u_h, u_o, hprev_h, hprev_o, g_h, g_o,
                         g_att, w_from, b_from, w_msg_h, w_msg_o,
                         w_hh_h, w_hh_o, b_hh_h, b_hh_o,
                         mask_hh, mask_obj, eye_oo,
-                        scale: float, reverse: bool, interpret: bool):
+                        scale: float, reverse: bool, interpret: bool,
+                        fuse_dirs: bool = False):
     t, b, nh, g3 = gi_h.shape
     no = gi_o.shape[2]
     hd = g3 // 3
@@ -475,7 +533,7 @@ def _seg_dir_bwd_pallas(gi_h, gi_o, u_h, u_o, hprev_h, hprev_o, g_h, g_o,
     rev = not reverse
     ts = lambda shape: _tspec(t, shape, rev)
     return pl.pallas_call(
-        _make_bwd_kernel(scale),
+        _make_bwd_kernel(scale, fuse_dirs),
         grid=(t,),
         in_specs=[ts((b, nh, g3)), ts((b, no, g3)),
                   ts((b, nh)), ts((b, no)),
@@ -512,27 +570,29 @@ def _seg_dir_bwd_pallas(gi_h, gi_o, u_h, u_o, hprev_h, hprev_o, g_h, g_o,
       mask_hh, mask_obj, eye_oo)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _seg_dir(scale, reverse, interpret, gi_h, gi_o, u_h, u_o, w_from, b_from,
-             w_msg_h, w_msg_o, w_hh_h, w_hh_o, b_hh_h, b_hh_o,
-             mask_hh, mask_obj, eye_oo, h0_h, h0_o):
-    """One direction of the segment scan with a HAND-WRITTEN Pallas VJP:
-    forward and backward both run as VMEM-resident kernels (no XLA
-    recompute). The weight gradients reduce outside the kernel as large MXU
-    einsums over the kernel's emitted per-step grads."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _seg_dir(scale, reverse, interpret, fuse_dirs, gi_h, gi_o, u_h, u_o,
+             w_from, b_from, w_msg_h, w_msg_o, w_hh_h, w_hh_o, b_hh_h,
+             b_hh_o, mask_hh, mask_obj, eye_oo, h0_h, h0_o):
+    """One direction of the segment scan (or BOTH, batch-stacked, when
+    fuse_dirs) with a HAND-WRITTEN Pallas VJP: forward and backward both run
+    as VMEM-resident kernels (no XLA recompute). The weight gradients reduce
+    outside the kernel as large MXU einsums over the kernel's emitted
+    per-step grads."""
     return _seg_dir_pallas(gi_h, gi_o, u_h, u_o, w_from, b_from, w_msg_h,
                            w_msg_o, w_hh_h, w_hh_o, b_hh_h, b_hh_o,
                            mask_hh, mask_obj, eye_oo, h0_h, h0_o,
-                           scale=scale, reverse=reverse, interpret=interpret)
+                           scale=scale, reverse=reverse, interpret=interpret,
+                           fuse_dirs=fuse_dirs)
 
 
-def _seg_dir_fwd(scale, reverse, interpret, *args):
+def _seg_dir_fwd(scale, reverse, interpret, fuse_dirs, *args):
     out = _seg_dir_pallas(*args, scale=scale, reverse=reverse,
-                          interpret=interpret)
+                          interpret=interpret, fuse_dirs=fuse_dirs)
     return out, (args, out[0], out[1])
 
 
-def _seg_dir_bwd(scale, reverse, interpret, residuals, g):
+def _seg_dir_bwd(scale, reverse, interpret, fuse_dirs, residuals, g):
     (gi_h, gi_o, u_h, u_o, w_from, b_from, w_msg_h, w_msg_o, w_hh_h, w_hh_o,
      b_hh_h, b_hh_o, mask_hh, mask_obj, eye_oo, h0_h, h0_o), h_h_seq, h_o_seq \
         = residuals
@@ -549,17 +609,33 @@ def _seg_dir_bwd(scale, reverse, interpret, residuals, g):
         gi_h, gi_o, u_h, u_o, hprev_h, hprev_o, g_h, g_o, g_att,
         w_from, b_from, w_msg_h, w_msg_o, w_hh_h, w_hh_o, b_hh_h, b_hh_o,
         mask_hh, mask_obj, eye_oo,
-        scale=scale, reverse=reverse, interpret=interpret)
+        scale=scale, reverse=reverse, interpret=interpret,
+        fuse_dirs=fuse_dirs)
 
     f32 = jnp.float32
-    hd = w_hh_h.shape[0]
+    hd = w_hh_h.shape[-2]
     red = lambda a, b_: jnp.einsum("tbeh,tbeg->hg", a.astype(f32), b_.astype(f32))
-    dw_msg_h = red(msgs_h, dgi_h).astype(w_msg_h.dtype)
-    dw_msg_o = red(msgs_o, dgi_o).astype(w_msg_o.dtype)
-    dw_hh_h = red(hprev_h, dgh_h).astype(w_hh_h.dtype)
-    dw_hh_o = red(hprev_o, dgh_o).astype(w_hh_o.dtype)
-    db_hh_h = jnp.sum(dgh_h.astype(f32), axis=(0, 1, 2)).astype(b_hh_h.dtype)
-    db_hh_o = jnp.sum(dgh_o.astype(f32), axis=(0, 1, 2)).astype(b_hh_o.dtype)
+    if fuse_dirs:
+        # Per-direction cell-weight reductions over the batch halves.
+        bh = gi_h.shape[1] // 2
+        halves = lambda a: (a[:, :bh], a[:, bh:])
+        red_d = lambda a, b_: jnp.stack([red(x, y) for x, y in
+                                         zip(halves(a), halves(b_))])
+        sum_d = lambda a: jnp.stack([jnp.sum(x.astype(f32), axis=(0, 1, 2))
+                                     for x in halves(a)])
+        dw_msg_h = red_d(msgs_h, dgi_h).astype(w_msg_h.dtype)
+        dw_msg_o = red_d(msgs_o, dgi_o).astype(w_msg_o.dtype)
+        dw_hh_h = red_d(hprev_h, dgh_h).astype(w_hh_h.dtype)
+        dw_hh_o = red_d(hprev_o, dgh_o).astype(w_hh_o.dtype)
+        db_hh_h = sum_d(dgh_h).astype(b_hh_h.dtype)
+        db_hh_o = sum_d(dgh_o).astype(b_hh_o.dtype)
+    else:
+        dw_msg_h = red(msgs_h, dgi_h).astype(w_msg_h.dtype)
+        dw_msg_o = red(msgs_o, dgi_o).astype(w_msg_o.dtype)
+        dw_hh_h = red(hprev_h, dgh_h).astype(w_hh_h.dtype)
+        dw_hh_o = red(hprev_o, dgh_o).astype(w_hh_o.dtype)
+        db_hh_h = jnp.sum(dgh_h.astype(f32), axis=(0, 1, 2)).astype(b_hh_h.dtype)
+        db_hh_o = jnp.sum(dgh_o.astype(f32), axis=(0, 1, 2)).astype(b_hh_o.dtype)
     dw_from = jnp.stack([
         red(hprev_h, dpre_h[..., :hd]), red(hprev_h, dpre_h[..., hd:]),
         red(hprev_o, dpre_o[..., :hd]), red(hprev_o, dpre_o[..., hd:]),
@@ -716,6 +792,54 @@ def _seg_fast_pallas_impl(cfg, interpret, seg_params, x_hs, x_os, u_h, u_o,
     mask_hh = 1.0 - jnp.eye(num_humans, dtype=dtype)
     eye_oo = 1.0 - jnp.eye(num_objects, dtype=dtype)
 
+    if mode == "dot" and getattr(cfg, "segment_fuse_directions", True):
+        # BOTH directions in one kernel launch, stacked on the batch axis
+        # (rows [:B] forward, [B:] backward with time-pre-flipped inputs, so
+        # the fused scan runs in natural order). Message/attention weights
+        # are direction-shared; the MXU matmuls just get 2x the rows at
+        # near-identical cost, and the per-grid-step overhead is paid once
+        # for both directions instead of twice.
+        def stack2(f, bwd):
+            return jnp.concatenate([f, bwd[::-1]], axis=1)
+
+        gi_h2 = stack2(tm(_base_gates(seg_params, "human_segment_rnn_fcell", x_hs)),
+                       tm(_base_gates(seg_params, "human_segment_rnn_bcell", x_hs)))
+        gi_o2 = stack2(tm(_base_gates(seg_params, "object_segment_rnn_fcell", x_os)),
+                       tm(_base_gates(seg_params, "object_segment_rnn_bcell", x_os)))
+        u_h2 = stack2(u_h_t, u_h_t)
+        u_o2 = stack2(u_o_t, u_o_t)
+        w_msg_h2, w_hh_h2, b_hh_h2 = [jnp.stack(ws) for ws in zip(
+            cell("human_segment_rnn_fcell", base_h),
+            cell("human_segment_rnn_bcell", base_h))]
+        w_msg_o2, w_hh_o2, b_hh_o2 = [jnp.stack(ws) for ws in zip(
+            cell("object_segment_rnn_fcell", base_o),
+            cell("object_segment_rnn_bcell", base_o))]
+        mask_obj2 = jnp.concatenate([objects_mask, objects_mask], 0).astype(dtype)
+        h0_h2 = jnp.concatenate(
+            [seg_h0.astype(dtype), jnp.zeros((b, num_humans, h), dtype)], 0)
+        h0_o2 = jnp.concatenate(
+            [seg_o0.astype(dtype), jnp.zeros((b, num_objects, h), dtype)], 0)
+        args = (gi_h2, gi_o2, u_h2, u_o2, w_from, b_from,
+                w_msg_h2, w_msg_o2, w_hh_h2, w_hh_o2, b_hh_h2, b_hh_o2,
+                mask_hh, mask_obj2, eye_oo, h0_h2, h0_o2)
+        if kernel_vjp:
+            out_h, out_o, att = _seg_dir(float(scale), False, interpret,
+                                         True, *args)
+        else:
+            out_h, out_o, att = _seg_dir_pallas(
+                *args, scale=float(scale), reverse=False, interpret=interpret,
+                fuse_dirs=True)
+        hf_h, hb_h = out_h[:, :b], out_h[:, b:][::-1]
+        hf_o, hb_o = out_o[:, :b], out_o[:, b:][::-1]
+        att_f, att_b = att[:, :b], att[:, b:][::-1]
+
+        def order(f, bwd):
+            return jnp.concatenate([jnp.moveaxis(f, 0, 1),
+                                    jnp.moveaxis(bwd, 0, 1)], axis=-1)
+
+        return (order(hf_h, hb_h), order(hf_o, hb_o),
+                jnp.moveaxis(att_f, 0, 1), jnp.moveaxis(att_b, 0, 1))
+
     def run_dir(direction):
         fcell = "human_segment_rnn_fcell" if direction == "fwd" else "human_segment_rnn_bcell"
         ocell = "object_segment_rnn_fcell" if direction == "fwd" else "object_segment_rnn_bcell"
@@ -735,7 +859,7 @@ def _seg_fast_pallas_impl(cfg, interpret, seg_params, x_hs, x_os, u_h, u_o,
                 mask_hh, objects_mask.astype(dtype), eye_oo, h0_h, h0_o)
         if kernel_vjp:
             assert mode == "dot", "hand-written VJP covers 'dot' mode only"
-            return _seg_dir(float(scale), reverse, interpret, *args)
+            return _seg_dir(float(scale), reverse, interpret, False, *args)
         return _seg_dir_pallas(*args, scale=float(scale), reverse=reverse,
                                interpret=interpret, mode=mode,
                                att_ws=att_ws, w_att=w_att, b_att=b_att)
