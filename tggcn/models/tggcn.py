@@ -120,12 +120,24 @@ class TGGCNConfig:
     # (hand-written Pallas VJP for bf16 dot mode; XLA-fast-path recompute
     # VJP otherwise). TPU-only.
     use_pallas_segment_scan: bool = False
+    # Which attention modes actually route through the segment kernel when
+    # use_pallas_segment_scan is on. 'auto' engages it only where it is
+    # measured faster than the XLA fast path for training on v5e — 'dot'
+    # (v2/v3), the mode with the hand-written Pallas VJP (1.16x) — and keeps
+    # v1/v4/dist/mp on XLA (measured 0.89-1.01x with the recompute VJP;
+    # tools/bench_segment_modes.py, BASELINE.md). 'all' forces every
+    # applicable mode through the kernel.
+    segment_kernel_modes: str = "auto"
     # Run BOTH segment-scan directions in ONE Pallas kernel launch, stacked
     # on the batch axis ('dot' attention mode): the direction-shared
     # message/attention matmuls get 2x the rows at near-identical MXU cost
     # and the per-grid-step overhead is paid once. False = one launch per
     # direction (round-2 behaviour).
     segment_fuse_directions: bool = True
+    # Same for the frame-level Pallas GRU: backward-direction gate blocks
+    # time-pre-flipped and stacked as extra streams, one launch for both
+    # directions.
+    gru_fuse_directions: bool = True
     # Activation/compute precision of the heavy path (embedding MLPs, frame
     # BiGRUs, messages, segment scan). 'bfloat16' casts inputs and the
     # heavy-path parameters at apply entry — master parameters stay float32
@@ -489,8 +501,9 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
     if cfg.use_pallas_gru:
         from tggcn.ops.gru_pallas import run_multi_bigru_pallas
 
-        h_hfr, h_ofr, _h_sfr = run_multi_bigru_pallas(frame_rnns, frame_xs,
-                                                      h0_fwd_list=h0s)
+        h_hfr, h_ofr, _h_sfr = run_multi_bigru_pallas(
+            frame_rnns, frame_xs, h0_fwd_list=h0s,
+            fuse_directions=cfg.gru_fuse_directions)
     else:
         h_hfr, h_ofr, _h_sfr = run_multi_bigru(frame_rnns, frame_xs,
                                                h0_fwd_list=h0s,
@@ -635,7 +648,10 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
             run_segment_scan_pallas,
         )
 
-        use_pallas_seg = pallas_segment_mode(cfg, dists3) is not None
+        seg_mode = pallas_segment_mode(cfg, dists3)
+        use_pallas_seg = seg_mode is not None and (
+            getattr(cfg, "segment_kernel_modes", "auto") == "all"
+            or seg_mode == "dot")
     if use_pallas_seg:
         seg = run_segment_scan_pallas(params, cfg, x_hs, x_os, u_h_used,
                                       u_o_used, objects_mask,

@@ -39,6 +39,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _vmem_budget(dtype) -> int:
+    """Scoped-VMEM cap for the GRU kernels. The default 16 MB fits the bf16
+    weight set ((2S, h, 3h) with direction fusion) plus its stack copy, but
+    float32 at hidden 512 needs ~2x; v5e has 128 MB physical VMEM."""
+    if jnp.dtype(dtype).itemsize >= 4:
+        return 96 * 1024 * 1024
+    return 48 * 1024 * 1024
+
+
 def _fwd_kernel(gi_ref, w_ref, b_ref, h0_ref, out_ref, h_scr):
     """One time step: gh = h @ W + b; gates; h' = (1-z)*n + z*h.
 
@@ -143,6 +152,8 @@ def _gru_seq_fwd_impl(gi, w_hh, b_hh, h0, reverse: bool, interpret: bool):
         out_specs=_time_specs(t, s, r, h_dim, reverse),
         out_shape=jax.ShapeDtypeStruct((t, s, r, h_dim), gi.dtype),
         scratch_shapes=[pltpu.VMEM((s, r, h_dim), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_budget(gi.dtype)),
         interpret=interpret,
     )(gi, w_hh, b_hh, h0)
 
@@ -167,6 +178,8 @@ def _gru_seq_bwd_impl(gi, hprev, g, w_hh, b_hh, reverse: bool, interpret: bool):
                    jax.ShapeDtypeStruct((t, s, r, g3), gi.dtype),
                    jax.ShapeDtypeStruct((s, r, h_dim), gi.dtype)),
         scratch_shapes=[pltpu.VMEM((s, r, h_dim), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_budget(gi.dtype)),
         interpret=interpret,
     )(gi, hprev, g, w_hh, b_hh)
     return dgi, dgh, dh0
@@ -209,13 +222,17 @@ gru_sequence.defvjp(_gru_sequence_fwd, _gru_sequence_bwd)
 
 
 def run_multi_bigru_pallas(params_list, xs_list, h0_fwd_list=None,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           fuse_directions: bool = True):
     """Drop-in replacement for tggcn.nn.gru.run_multi_bigru backed by the
     fused kernel: same stream folding, same output layout (B, T, E, 2h).
 
-    The input-side projections stay outside as large batched MXU matmuls;
-    both directions run as one kernel launch each with the hidden state
-    resident in VMEM across all T steps.
+    The input-side projections stay outside as large batched MXU matmuls.
+    With fuse_directions (default) BOTH directions run in ONE kernel launch:
+    the backward direction's gate blocks are time-pre-flipped and stacked as
+    extra streams, so one grid sweep advances all 2S recurrences and the
+    per-grid-step overhead is paid once (fuse_directions=False restores the
+    two-launch round-2 behaviour).
     """
     num_streams = len(params_list)
     hidden = params_list[0]["fwd"]["w_hh"].shape[0]
@@ -255,10 +272,19 @@ def run_multi_bigru_pallas(params_list, xs_list, h0_fwd_list=None,
         h0_f = jnp.zeros((num_streams, r_max, hidden), dtype=dtype)
     h0_b = jnp.zeros((num_streams, r_max, hidden), dtype=dtype)
 
-    seq_f = gru_sequence(gi_for("fwd"), w_hh_f, b_hh_f, h0_f,
-                         reverse=False, interpret=interpret)
-    seq_b = gru_sequence(gi_for("bwd"), w_hh_b, b_hh_b, h0_b,
-                         reverse=True, interpret=interpret)
+    if fuse_directions:
+        gi2 = jnp.concatenate([gi_for("fwd"), gi_for("bwd")[::-1]], axis=1)
+        seq = gru_sequence(gi2,
+                           jnp.concatenate([w_hh_f, w_hh_b]),
+                           jnp.concatenate([b_hh_f, b_hh_b]),
+                           jnp.concatenate([h0_f, h0_b]),
+                           reverse=False, interpret=interpret)
+        seq_f, seq_b = seq[:, :num_streams], seq[:, num_streams:][::-1]
+    else:
+        seq_f = gru_sequence(gi_for("fwd"), w_hh_f, b_hh_f, h0_f,
+                             reverse=False, interpret=interpret)
+        seq_b = gru_sequence(gi_for("bwd"), w_hh_b, b_hh_b, h0_b,
+                             reverse=True, interpret=interpret)
     out = jnp.concatenate([seq_f, seq_b], axis=-1)           # (T, S, R, 2h)
 
     results = []

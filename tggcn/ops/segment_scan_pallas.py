@@ -237,6 +237,16 @@ def _full():
     return pl.BlockSpec(memory_space=pltpu.VMEM)
 
 
+def _vmem_budget(dtype) -> int:
+    """Scoped-VMEM budget for the segment kernels. 64 MB fits the resident
+    weight set (+ one stack copy per ref read) in bfloat16 at hidden 512;
+    float32 doubles every resident byte, so grant it the rest of v5e's
+    128 MB physical VMEM (minus pipeline headroom)."""
+    if jnp.dtype(dtype).itemsize >= 4:
+        return 110 * 1024 * 1024
+    return 64 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "reverse", "interpret",
                                              "mode", "fuse_dirs"))
 def _seg_dir_pallas(gi_h, gi_o, u_h, u_o, w_from, b_from, w_msg_h, w_msg_o,
@@ -273,7 +283,8 @@ def _seg_dir_pallas(gi_h, gi_o, u_h, u_o, w_from, b_from, w_msg_h, w_msg_o,
                         pltpu.VMEM((b, no, hd), jnp.float32)],
         # The step touches every weight once -> the default 16 MB scoped-vmem
         # budget under-provisions the pipeline's buffers; v5e has headroom.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_budget(dtype)),
         interpret=interpret,
     )(gi_h, gi_o, u_h, u_o, *extra_ops, w_from, b_from, w_msg_h, w_msg_o,
       w_hh_h, w_hh_o, b_hh_h, b_hh_o, mask_hh, mask_obj, eye_oo, h0_h, h0_o)
@@ -563,7 +574,8 @@ def _seg_dir_bwd_pallas(gi_h, gi_o, u_h, u_o, hprev_h, hprev_o, g_h, g_o,
                         pltpu.VMEM((b, no, hd), jnp.float32)],
         # The step touches every weight once -> the default 16 MB scoped-vmem
         # budget under-provisions the pipeline's buffers; v5e has headroom.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_budget(dtype)),
         interpret=interpret,
     )(gi_h, gi_o, u_h, u_o, hprev_h, hprev_o, g_h, g_o, g_att,
       w_from, b_from, w_msg_h, w_msg_o, w_hh_h, w_hh_o, b_hh_h, b_hh_o,
@@ -792,7 +804,13 @@ def _seg_fast_pallas_impl(cfg, interpret, seg_params, x_hs, x_os, u_h, u_o,
     mask_hh = 1.0 - jnp.eye(num_humans, dtype=dtype)
     eye_oo = 1.0 - jnp.eye(num_objects, dtype=dtype)
 
-    if mode == "dot" and getattr(cfg, "segment_fuse_directions", True):
+    if (mode == "dot" and getattr(cfg, "segment_fuse_directions", True)
+            and jnp.dtype(dtype).itemsize < 4):
+        # (f32 runs per-direction launches: direction fusion doubles the
+        # resident cell weights, and at 4 bytes/elem the h=512 backward
+        # would not fit even the raised VMEM budget. The A/B showed fusion
+        # is launch-count sugar, not a throughput lever, so f32 loses
+        # nothing.)
         # BOTH directions in one kernel launch, stacked on the batch axis
         # (rows [:B] forward, [B:] backward with time-pre-flipped inputs, so
         # the fused scan runs in natural order). Message/attention weights
@@ -939,12 +957,13 @@ def run_segment_scan_pallas(params, cfg, x_hs, x_os, u_h, u_o, objects_mask,
 
     vjp_mode selects the backward implementation:
       * 'kernel' — the hand-written Pallas backward (_seg_dir): reverse-time
-        sweep in VMEM, no XLA recompute. Both weight copies must fit VMEM,
-        which holds for bfloat16 activations at hidden 512 but NOT float32.
-        Only implemented for 'dot' attention (the headline configuration).
+        sweep in VMEM, no XLA recompute. Only implemented for 'dot'
+        attention (the headline configuration). bfloat16 runs both
+        directions fused in one launch; float32 runs per-direction launches
+        under a raised VMEM budget (_vmem_budget) so the resident weight
+        set fits at hidden 512 (verified on v5e, BASELINE.md round 3).
       * 'xla' — custom VJP that recomputes through the XLA fast path.
-      * 'auto' — 'kernel' for sub-float32 compute dtypes in 'dot' mode,
-        'xla' otherwise.
+      * 'auto' — 'kernel' in 'dot' mode (any dtype), 'xla' otherwise.
     """
     b = x_hs.shape[0]
     h = cfg.hidden_size
@@ -957,8 +976,7 @@ def run_segment_scan_pallas(params, cfg, x_hs, x_os, u_h, u_o, objects_mask,
         seg_o0 = jnp.zeros((b, x_os.shape[2], h), dtype)
     mode = pallas_segment_mode(cfg, dists3) or "dot"
     if vjp_mode == "auto":
-        vjp_mode = ("kernel" if dtype != jnp.float32 and mode == "dot"
-                    else "xla")
+        vjp_mode = "kernel" if mode == "dot" else "xla"
     if vjp_mode == "kernel":
         return _seg_fast_pallas_impl(cfg, interpret, seg_params, x_hs, x_os,
                                      u_h, u_o, objects_mask, seg_h0, seg_o0,

@@ -63,7 +63,9 @@ def build(args):
         use_pallas_segment_scan=args.use_pallas_segment_scan,
         use_pallas_geo_gcn=args.use_pallas_geo_gcn,
         remat_segment_scan=not args.no_remat,
-        segment_remat_policy=args.remat_policy)
+        segment_remat_policy=args.remat_policy,
+        segment_fuse_directions=not args.no_fuse_directions,
+        gru_fuse_directions=not args.no_fuse_directions)
     params = model.init(jax.random.PRNGKey(0))
     optimizer = optax.adam(1e-4)
 
@@ -98,6 +100,9 @@ def main():
     parser.add_argument("--use_pallas_segment_scan", action="store_true")
     parser.add_argument("--remat_policy", default="full", choices=["full", "dots"])
     parser.add_argument("--use_pallas_geo_gcn", action="store_true")
+    parser.add_argument("--no_fuse_directions", action="store_true",
+                        help="Per-direction segment-kernel launches "
+                             "(round-2 behaviour).")
     parser.add_argument("--no_remat", action="store_true",
                         help="Store segment-scan residuals instead of remat.")
     parser.add_argument("--ablate", default="none",

@@ -31,6 +31,9 @@ def main():
     parser.add_argument("--compute_dtype", default="float32")
     parser.add_argument("--use_pallas_gru", action="store_true")
     parser.add_argument("--use_pallas_segment_scan", action="store_true")
+    parser.add_argument("--no_fuse_directions", action="store_true",
+                        help="Per-direction kernel launches "
+                             "(round-2 behaviour) for the A/B.")
     args = parser.parse_args()
 
     import jax
@@ -47,7 +50,9 @@ def main():
         attention_style="v3", discrete_optimization_strategy="st",
         object_segment_update_strategy="ind", geometry_flatten="per_frame",
         compute_dtype=args.compute_dtype, use_pallas_gru=args.use_pallas_gru,
-        use_pallas_segment_scan=args.use_pallas_segment_scan)
+        use_pallas_segment_scan=args.use_pallas_segment_scan,
+        segment_fuse_directions=not args.no_fuse_directions,
+        gru_fuse_directions=not args.no_fuse_directions)
     params = init_tggcn(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     t, num_humans, num_objects = args.frames, 2, 4
