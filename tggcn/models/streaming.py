@@ -41,8 +41,21 @@ from tggcn.models.tggcn import TGGCNConfig, _work_dtype, apply_tggcn
 
 class StreamingRunner:
     def __init__(self, params: dict, cfg: TGGCNConfig, window: int, lookahead: int,
-                 rng: Optional[jax.Array] = None, fuse_group: int = 16):
+                 rng: Optional[jax.Array] = None, fuse_group: int = 16,
+                 fuse_directions: Optional[bool] = None):
         self.params = params
+        # Default to per-direction kernel launches for streaming: at B=1 the
+        # direction fusion's outside-kernel concat/flip/slice traffic
+        # outweighs the saved launches (measured 4898 vs 4591 frames/s
+        # device-resident in a matched pair, BASELINE.md round 3). Training
+        # keeps fusion on; numerics are identical either way
+        # (equivalence-tested). Pass fuse_directions=True to re-A/B.
+        fuse = bool(fuse_directions) if fuse_directions is not None else False
+        if (getattr(cfg, "segment_fuse_directions", True) != fuse
+                or getattr(cfg, "gru_fuse_directions", True) != fuse):
+            import dataclasses
+            cfg = dataclasses.replace(cfg, segment_fuse_directions=fuse,
+                                      gru_fuse_directions=fuse)
         self.cfg = cfg
         self.window = window
         self.lookahead = lookahead

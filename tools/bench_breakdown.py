@@ -106,9 +106,12 @@ def main():
     parser.add_argument("--no_remat", action="store_true",
                         help="Store segment-scan residuals instead of remat.")
     parser.add_argument("--ablate", default="none",
-                        choices=["none", "no_segment_messages", "forward_only"],
-                        help="Timing ablations: drop segment messages, or time "
-                             "forward+loss only (no grad/Adam).")
+                        choices=["none", "no_segment_messages", "forward_only",
+                                 "grad_only"],
+                        help="Timing ablations: drop segment messages, time "
+                             "forward+loss only (no grad/Adam), or "
+                             "forward+backward without the optimizer update "
+                             "(isolates Adam's share of the step).")
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()
 
@@ -160,6 +163,41 @@ def main():
             best = min(best, time.perf_counter() - start)
         print(json.dumps({"forward_only_step_ms": best / k * 1000,
                           "forward_only_clips_per_sec": k * b / best,
+                          "config": vars(args)}))
+        return
+
+    if args.ablate == "grad_only":
+        def grad_steps(params_, rng_, data_, targets_):
+            def loss_of(p, key_, d, tg):
+                outputs, _aux = model.apply(p, train=True, rng=key_,
+                                            **feeder(d))
+                return sum(criterion(outputs, tg, reduction="mean"))
+
+            def one(carry, inp):
+                key_, d, tg = inp
+                l, grads = jax.value_and_grad(loss_of)(params_, key_, d, tg)
+                # Fold every grad leaf into the carried scalar so the
+                # backward cannot be dead-coded, while the params (and
+                # therefore the compiled program) stay step-invariant.
+                gsum = sum(jnp.sum(g_.astype(jnp.float32))
+                           for g_ in jax.tree_util.tree_leaves(grads))
+                return carry + gsum, l
+
+            return jax.lax.scan(one, jnp.float32(0.0),
+                                (jax.random.split(rng_, k), data_, targets_))
+
+        grad_jit = jax.jit(grad_steps)
+        acc, losses = grad_jit(params, key, data_stack, target_stack)
+        sync(losses)
+        best = float("inf")
+        for i in range(3):
+            start = time.perf_counter()
+            acc, losses = grad_jit(params, jax.random.fold_in(key, i),
+                                   data_stack, target_stack)
+            sync(losses)
+            best = min(best, time.perf_counter() - start)
+        print(json.dumps({"grad_only_step_ms": best / k * 1000,
+                          "grad_only_clips_per_sec": k * b / best,
                           "config": vars(args)}))
         return
 

@@ -31,9 +31,10 @@ def main():
     parser.add_argument("--compute_dtype", default="float32")
     parser.add_argument("--use_pallas_gru", action="store_true")
     parser.add_argument("--use_pallas_segment_scan", action="store_true")
-    parser.add_argument("--no_fuse_directions", action="store_true",
-                        help="Per-direction kernel launches "
-                             "(round-2 behaviour) for the A/B.")
+    parser.add_argument("--fuse_directions", action="store_true",
+                        help="Force direction-FUSED kernel launches (the "
+                             "runner defaults to per-direction at B=1 — "
+                             "measured faster; this flag re-A/Bs).")
     args = parser.parse_args()
 
     import jax
@@ -50,9 +51,7 @@ def main():
         attention_style="v3", discrete_optimization_strategy="st",
         object_segment_update_strategy="ind", geometry_flatten="per_frame",
         compute_dtype=args.compute_dtype, use_pallas_gru=args.use_pallas_gru,
-        use_pallas_segment_scan=args.use_pallas_segment_scan,
-        segment_fuse_directions=not args.no_fuse_directions,
-        gru_fuse_directions=not args.no_fuse_directions)
+        use_pallas_segment_scan=args.use_pallas_segment_scan)
     params = init_tggcn(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     t, num_humans, num_objects = args.frames, 2, 4
@@ -61,7 +60,8 @@ def main():
     mask = np.ones((1, num_objects), np.float32)
 
     runner = StreamingRunner(params, cfg, window=args.window,
-                             lookahead=args.lookahead, fuse_group=args.fuse_group)
+                             lookahead=args.lookahead, fuse_group=args.fuse_group,
+                             fuse_directions=args.fuse_directions or None)
     # Warm up on the FULL stream (compiles the fused window-group program(s)
     # and the final-chunk program; a short warmup would miss the fused path).
     runner.run(x_human, x_objects, mask)
