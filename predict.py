@@ -20,6 +20,14 @@ this file is only argument parsing and orchestration.
 import argparse
 import os
 
+# Honor an explicit JAX_PLATFORMS env var even when a sitecustomize has
+# programmatically registered/pinned another backend (this container pins a
+# remote-TPU backend; JAX_PLATFORMS=cpu must still force CPU runs).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 from tggcn.eval.engine import run_inference

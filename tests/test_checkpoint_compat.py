@@ -81,3 +81,29 @@ def test_orbax_params_roundtrip(tmp_path):
     restored = load_params_orbax(path)
     np.testing.assert_allclose(restored["layer"]["w"], params["layer"]["w"])
     np.testing.assert_allclose(restored["layer"]["b"], params["layer"]["b"])
+
+
+def test_checkpoint_preserves_scaler_objects(tmp_path):
+    """Fitted sklearn scalers must survive the checkpoint round trip as
+    OBJECTS (eval calls .transform on them; reference train.py:61)."""
+    from sklearn.preprocessing import StandardScaler
+
+    from tggcn.data.loading import fit_or_apply_scalers
+
+    rng = np.random.default_rng(0)
+    sc = StandardScaler().fit(rng.normal(size=(10, 3)))
+    save_checkpoint(str(tmp_path), {"scalers": {"human_scaler": sc},
+                                    "epoch": 1}, checkpoint_name="x")
+    ck = load_checkpoint(os.path.join(tmp_path, "x.ckpt"))
+    assert hasattr(ck["scalers"]["human_scaler"], "transform")
+
+    # Legacy checkpoints (written when _to_numpy wrapped objects in 0-d
+    # object arrays) unwrap transparently at use.
+    legacy = {"human_scaler": np.asarray(sc), "object_scaler": np.asarray(sc)}
+    x = [rng.normal(size=(2, 2, 3)).astype(np.float32),
+         rng.normal(size=(2, 2, 3)).astype(np.float32)]
+    out, fitted = fit_or_apply_scalers(x, "2G-GCN", scalers=legacy)
+    assert hasattr(fitted["human_scaler"], "transform")
+    np.testing.assert_allclose(
+        out[0], sc.transform(x[0].reshape(-1, 3)).reshape(x[0].shape),
+        rtol=1e-6)

@@ -144,34 +144,51 @@ class ArrayDataLoader:
 # --------------------------------------------------------------------------
 
 
-def scale_array(x: np.ndarray, scaler=None, scaling_strategy: str = "standard"):
+# Model families whose human/object feature streams get standardised, and
+# the checkpoint key each fitted scaler is stored under (key names are the
+# checkpoint contract — eval recovers them via rundir.load_scalers()).
+_SCALED_MODELS = frozenset({"2G-GCN", "bimanual_baseline", "cad120_baseline"})
+_SCALED_STREAMS = (("human_scaler", 0), ("object_scaler", 1))
+
+
+def fit_or_apply_scalers(x: list, model_name: str,
+                         scaling_strategy: Optional[str] = None,
+                         scalers: Optional[dict] = None):
+    """Standardise the human/object feature tensors over the feature axis.
+
+    Training call sites pass ``scaling_strategy`` with no ``scalers``: each
+    stream gets an sklearn ``StandardScaler`` fit on its flattened
+    ``(-1, features)`` view. Eval call sites pass the fitted ``scalers``
+    recovered from the training checkpoint and reuse them as-is. Models
+    outside the scaled families pass through untouched.
+
+    Behavioural parity with reference vhoi/data_loading.py:404-433 (fit on
+    train, reuse at test, scalers persisted in the checkpoint, train.py:61).
+    """
+    fitting = not scalers
+    if fitting and scaling_strategy is None:
+        return x, {}
+    if model_name not in _SCALED_MODELS:
+        return x, {} if fitting else scalers
     from sklearn.preprocessing import StandardScaler
 
-    x_shape = x.shape
-    x = x.reshape(-1, x_shape[-1])
-    if scaler is None:
-        if scaling_strategy != "standard":
-            raise ValueError(f"scaling_strategy must be standard and not {scaling_strategy}.")
-        scaler = StandardScaler().fit(x)
-    x = scaler.transform(x)
-    return x.reshape(*x_shape), scaler
-
-
-def maybe_scale_input_tensors(x: list, model_name: str, scaling_strategy: Optional[str] = None,
-                              scalers: Optional[dict] = None):
-    there_are_no_scalers = scalers is None or not scalers
-    if there_are_no_scalers:
-        scalers = {}
-        if scaling_strategy is None:
-            return x, scalers
-    if model_name in {"2G-GCN", "bimanual_baseline", "cad120_baseline"}:
-        x_human, human_scaler = scale_array(x[0], scaler=scalers.get("human_scaler"),
-                                            scaling_strategy=scaling_strategy)
-        x_object, object_scaler = scale_array(x[1], scaler=scalers.get("object_scaler"),
-                                              scaling_strategy=scaling_strategy)
-        scalers = {"human_scaler": human_scaler, "object_scaler": object_scaler}
-        x = [x_human, x_object] + x[2:]
-    return x, scalers
+    out, fitted = list(x), {}
+    for key, idx in _SCALED_STREAMS:
+        flat = out[idx].reshape(-1, out[idx].shape[-1])
+        scaler = (scalers or {}).get(key)
+        if isinstance(scaler, np.ndarray) and scaler.dtype == object:
+            # Checkpoints written before the _to_numpy fix wrapped the
+            # scaler objects in 0-d object arrays; unwrap transparently.
+            scaler = scaler.item()
+        if scaler is None:
+            if scaling_strategy != "standard":
+                raise ValueError(
+                    f"unsupported scaling strategy {scaling_strategy!r}: only "
+                    "'standard' (per-feature standardisation) is implemented")
+            scaler = StandardScaler().fit(flat)
+        fitted[key] = scaler
+        out[idx] = scaler.transform(flat).reshape(out[idx].shape)
+    return out, fitted
 
 
 # --------------------------------------------------------------------------
@@ -190,8 +207,8 @@ def _assemble_flat(data, model_name, dataset_name, sigma, downsampling, test_dat
     else:
         x, y = assembly.assemble_bimanual_tensors(data, model_name, sigma=sigma,
                                                   downsampling=downsampling, test_data=test_data)
-    x, scalers = maybe_scale_input_tensors(x, model_name, scaling_strategy=scaling_strategy,
-                                           scalers=scalers)
+    x, scalers = fit_or_apply_scalers(x, model_name, scaling_strategy=scaling_strategy,
+                                      scalers=scalers)
     x = [np.nan_to_num(ix, copy=False, nan=0.0) for ix in x]
     return x + y, scalers
 

@@ -147,6 +147,16 @@ class TGGCNConfig:
     # and all returned outputs. See tests/test_bf16.py for the measured
     # deviation study vs the float32 path.
     compute_dtype: str = "float32"
+    # Matmul precision for the two discrete-decision MLPs
+    # (update_{human,object}_segment_mlp) on the float32 path. The TPU
+    # default f32 matmul is a bf16x3 emulation whose rounding can flip a
+    # marginal hard segmentation decision vs CPU/reference execution
+    # (observed on the hidden-128 golden fixture, BASELINE.md round 3);
+    # scoping precision=highest to just these matmuls restores
+    # decision-exactness without the ~2x cost of the global
+    # jax_default_matmul_precision flag. Ignored under bfloat16 compute
+    # (which never promises decision-exactness). None = backend default.
+    decision_matmul_precision: Optional[str] = "highest"
 
     @classmethod
     def from_kwargs(cls, **kwargs):
@@ -574,12 +584,17 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
             return None
         return jnp.broadcast_to(x_tt, (b, t, num_entities, hidden))
 
+    # Decision MLPs: scoped high-precision matmuls on the f32 path so a
+    # marginal sigmoid near the hard threshold rounds the same way as
+    # CPU/reference execution (see decision_matmul_precision).
+    dec_prec = cfg.decision_matmul_precision if work_dtype is None else None
     if human_segmentation is not None:
         u_h_hard = u_h_soft = human_segmentation.astype(x_hum_emb.dtype)
     else:
         upd_in = _cat_valid([x_hum_emb, h_hf, m_hh, m_oh, m_sh, broadcast_tt(num_humans)])
         u_soft = apply_mlp(params["update_human_segment_mlp"], upd_in,
-                           activations=["relu"] * (cfg.discrete_networks_num_layers - 1) + ["sigmoid"])
+                           activations=["relu"] * (cfg.discrete_networks_num_layers - 1) + ["sigmoid"],
+                           precision=dec_prec)
         u_h_hard, u_h_soft = discrete_estimator(
             u_soft, strategy=cfg.discrete_optimization_strategy,
             threshold=cfg.update_segment_threshold, key=rng_h)
@@ -601,7 +616,8 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
         else:
             upd_in = _cat_valid([x_obj_emb, h_of, m_ho, m_oo, m_so, broadcast_tt(num_objects)])
             u_soft = apply_mlp(params["update_object_segment_mlp"], upd_in,
-                               activations=["relu"] * (cfg.discrete_networks_num_layers - 1) + ["sigmoid"])
+                               activations=["relu"] * (cfg.discrete_networks_num_layers - 1) + ["sigmoid"],
+                               precision=dec_prec)
             u_o_hard, u_o_soft = discrete_estimator(
                 u_soft, strategy=cfg.discrete_optimization_strategy,
                 threshold=cfg.update_segment_threshold, key=rng_o)

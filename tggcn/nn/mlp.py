@@ -23,8 +23,8 @@ def init_linear(key, in_dim: int, out_dim: int, bias: bool = True) -> dict:
     return params
 
 
-def apply_linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ params["w"]
+def apply_linear(params: dict, x: jnp.ndarray, precision=None) -> jnp.ndarray:
+    y = jnp.matmul(x, params["w"], precision=precision)
     if "b" in params:
         y = y + params["b"]
     return y
@@ -68,14 +68,14 @@ def init_mlp(key, dims: Sequence[int], bias: bool = True) -> dict:
 def apply_mlp(params: dict, x: jnp.ndarray,
               activations: Optional[Sequence[Union[str, dict]]] = None,
               dropout: float = 0.0, rng: Optional[jax.Array] = None,
-              train: bool = False) -> jnp.ndarray:
+              train: bool = False, precision=None) -> jnp.ndarray:
     layers = params["layers"]
     if activations is None:
         activations = ["identity"] * len(layers)
     if len(layers) != len(activations):
         raise ValueError("Number of activations must match the number of layers.")
     for i, (layer, activation) in enumerate(zip(layers, activations)):
-        x = _pick_activation(activation)(apply_linear(layer, x))
+        x = _pick_activation(activation)(apply_linear(layer, x, precision=precision))
         if dropout and train:
             rng, key = jax.random.split(rng)
             keep = jax.random.bernoulli(key, 1.0 - dropout, x.shape)

@@ -1,0 +1,132 @@
+"""Multi-process (multi-host) data parallelism.
+
+SURVEY.md §5.8 names the TPU-native equivalent of a comm backend: one JAX
+process per host, ``jax.distributed.initialize`` to form the global runtime,
+a device mesh spanning every host's chips, and per-host input feeding. The
+reference is single-process (it has no comm backend at all); this module is
+the blueprint's own obligation.
+
+Design: every process runs the SAME deterministic input pipeline (the batch
+iterators are pure functions of (seed, epoch)), so each process can
+materialise the full global batch on host and contribute exactly its
+processes' rows via ``jax.make_array_from_process_local_data``. Parameters
+and optimizer state are replicated; the jitted train step's gradient psum
+rides ICI within a host's chips and DCN across hosts (mesh layout:
+tggcn/parallel/mesh.py). Checkpoint and scalar-log writes are gated to
+process 0 (every process holds the replicated state, so process 0's write
+is the global state).
+
+Launch contract (one of):
+  * explicit kwargs via ``maybe_initialize(coordinator_address=...,
+    num_processes=..., process_id=...)`` (e.g. from resources config);
+  * env vars TGGCN_COORDINATOR, TGGCN_NUM_PROCESSES, TGGCN_PROCESS_ID
+    (set by the per-host launcher);
+  * a TPU pod environment, where ``jax.distributed.initialize()`` resolves
+    everything from the TPU metadata (pass ``auto=True``).
+
+Verified end-to-end by tests/test_distributed.py: 2 local CPU processes x 4
+virtual devices each train lockstep and reproduce the single-process
+8-device loss trajectory exactly.
+"""
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+_INITIALIZED = False
+
+
+def maybe_initialize(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None,
+                     local_device_ids=None, auto: bool = False) -> bool:
+    """Join the multi-process runtime if a launch contract is present.
+
+    Returns True when ``jax.distributed.initialize`` was called (now or
+    earlier this process), False for plain single-process runs. Safe to call
+    unconditionally from train.py: with no kwargs, no env vars and
+    ``auto=False`` it is a no-op.
+    """
+    global _INITIALIZED
+    if _INITIALIZED:
+        return True
+    coordinator_address = coordinator_address or os.environ.get("TGGCN_COORDINATOR")
+    if num_processes is None and os.environ.get("TGGCN_NUM_PROCESSES"):
+        num_processes = int(os.environ["TGGCN_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("TGGCN_PROCESS_ID"):
+        process_id = int(os.environ["TGGCN_PROCESS_ID"])
+    if coordinator_address is None and not auto:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id,
+                               local_device_ids=local_device_ids)
+    _INITIALIZED = True
+    return True
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_main_process() -> bool:
+    """True on the process that owns checkpoint/log writes."""
+    return jax.process_index() == 0
+
+
+def is_multiprocess(mesh) -> bool:
+    """True when the mesh spans devices this process cannot address."""
+    return mesh is not None and any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat)
+
+
+def make_global_batch(arrays, mesh, sharding=None):
+    """Assemble globally-sharded batch arrays from host-replicated numpy.
+
+    Every process passes the FULL global batch (the deterministic pipeline
+    reproduces it on each host); this process contributes the rows its
+    devices own. ``jax.make_array_from_process_local_data`` expects the
+    process-LOCAL rows, so slice them out of the global batch first —
+    with the batch axis sharded over a process-contiguous device order
+    (jax.devices() is process-major), process p owns the p-th contiguous
+    row block.
+    """
+    if sharding is None:
+        from tggcn.parallel.mesh import batch_sharding
+
+        sharding = batch_sharding(mesh)
+    pidx, pcount = jax.process_index(), jax.process_count()
+
+    def put(arr):
+        arr = np.asarray(arr)
+        rows = arr.shape[0]
+        if rows % pcount:
+            raise ValueError(
+                f"global batch of {rows} rows does not split over "
+                f"{pcount} processes")
+        per = rows // pcount
+        local = arr[pidx * per:(pidx + 1) * per]
+        return jax.make_array_from_process_local_data(sharding, local,
+                                                      global_shape=arr.shape)
+
+    return jax.tree_util.tree_map(put, arrays)
+
+
+def replicate_global(tree, mesh):
+    """Replicate host values onto every device of a multi-process mesh."""
+    from tggcn.parallel.mesh import replicated_sharding
+
+    sharding = replicated_sharding(mesh)
+
+    def put(arr):
+        arr = np.asarray(arr)
+        return jax.make_array_from_process_local_data(sharding, arr,
+                                                      global_shape=arr.shape)
+
+    return jax.tree_util.tree_map(put, tree)

@@ -24,7 +24,18 @@ import numpy as np
 
 
 def _to_numpy(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Materialise device arrays as numpy; leave other leaves untouched.
+
+    Non-array payloads ride along in checkpoints (notably the fitted sklearn
+    scalers, reference train.py:61) — np.asarray would silently wrap those
+    in 0-d object arrays and break their API at load time.
+    """
+    def conv(x):
+        if isinstance(x, (jax.Array, np.ndarray, np.generic)):
+            return np.asarray(x)
+        return x
+
+    return jax.tree_util.tree_map(conv, tree)
 
 
 def save_checkpoint(log_dir: str, checkpoint: dict, checkpoint_name: Optional[str] = None,

@@ -77,11 +77,21 @@ def device_batch_iterator(loader, batch_size: int, num_inputs: int, mesh=None):
     overlaps with the consumer's compute on the current batch. (Passing raw
     numpy arrays into a jit'ed step instead costs a synchronous per-call
     transfer, which dominated wall-clock on the remote-TPU path.)
+
+    On a multi-process mesh each process feeds only the batch rows its own
+    devices hold (per-host input pipeline sharding, SURVEY.md §5.8): the
+    deterministic loader reproduces the same global batch on every host and
+    make_global_batch assembles the global jax.Array from local rows.
     """
+    from tggcn.parallel.distributed import is_multiprocess, make_global_batch
     from tggcn.parallel.mesh import shard_batch
+
+    multiprocess = is_multiprocess(mesh)
 
     def put(batch):
         batch = pad_batch(batch, batch_size, num_inputs)
+        if multiprocess:
+            return make_global_batch(batch, mesh)
         if mesh is not None:
             return shard_batch(batch, mesh)
         return jax.device_put(batch)
@@ -231,12 +241,27 @@ def train(model, train_loader, optimizer, criterion, epochs, loss_names,
           initial_best_val_loss: float = float("inf"),
           initial_checkpoint: Optional[dict] = None, **kwargs):
     """Full training run; returns the checkpoint dict (reference train())."""
-    writer = ScalarWriter(tensorboard_log_dir, checkpoint_name)
+    from tggcn.parallel.distributed import is_main_process, is_multiprocess, \
+        replicate_global
+
+    # Multi-process: every process trains lockstep on the replicated state;
+    # only process 0 writes scalars / checkpoints / progress lines (its copy
+    # IS the global state).
+    multiprocess = is_multiprocess(mesh)
+    main_proc = is_main_process()
+    if multiprocess and not main_proc:
+        tensorboard_log_dir = log_dir = None
+    writer = ScalarWriter(tensorboard_log_dir if main_proc else None,
+                          checkpoint_name)
+    log = print if main_proc else (lambda *a, **k: None)
     trainable = {"model": init_params}
     if mtll is not None:
         trainable["mtll"] = mtll["log_sds"]
     opt_state = init_opt_state if init_opt_state is not None else optimizer.init(trainable)
-    if mesh is not None:
+    if multiprocess:
+        trainable = replicate_global(trainable, mesh)
+        opt_state = replicate_global(opt_state, mesh)
+    elif mesh is not None:
         trainable = replicate(trainable, mesh)
         opt_state = replicate(opt_state, mesh)
 
@@ -259,7 +284,7 @@ def train(model, train_loader, optimizer, criterion, epochs, loss_names,
     num_examples = train_loader.num_examples
 
     for epoch in range(initial_epoch, epochs + initial_epoch):
-        print(f"\nEpoch: [{epoch:4d}/{epochs + initial_epoch - 1:4d}]")
+        log(f"\nEpoch: [{epoch:4d}/{epochs + initial_epoch - 1:4d}]")
         epoch_start = time.time()
         num_batches = len(train_loader)
         if hasattr(train_loader, "set_epoch"):
@@ -278,11 +303,11 @@ def train(model, train_loader, optimizer, criterion, epochs, loss_names,
                 loss = float(losses_np[-n_main:].sum())
                 batch_end = min((batch_idx + 1) * batch_size, num_examples)
                 progress = 100 * (batch_idx + 1) / num_batches
-                print(f"(Train) Batch [{batch_end:6d}/{num_examples:6d} ({progress:3.0f}%)] ",
+                log(f"(Train) Batch [{batch_end:6d}/{num_examples:6d} ({progress:3.0f}%)] ",
                       f"Loss: {loss: 8.4f}", end="")
                 for loss_name, single in zip(loss_names, losses_np):
-                    print(f"  {loss_name}: {single: 6.4f}", end="")
-                print()
+                    log(f"  {loss_name}: {single: 6.4f}", end="")
+                log()
 
         # Per-epoch evaluation on the full train set, then the val set.
         eval_rng = jax.random.fold_in(root_rng, 10_000_000 + epoch)
@@ -291,7 +316,7 @@ def train(model, train_loader, optimizer, criterion, epochs, loss_names,
                                             num_inputs, mesh=mesh)
         n_main = num_main_losses if num_main_losses is not None else len(cur_train)
         total_train = float(cur_train[-n_main:].sum())
-        _print_eval("Train", total_train, loss_names, cur_train)
+        _print_eval("Train", total_train, loss_names, cur_train, printer=log)
         train_losses.append([total_train, cur_train.tolist()])
         if mtll is not None:
             train_raw_losses.append([float(cur_train_raw[-n_main:].sum()),
@@ -314,7 +339,7 @@ def train(model, train_loader, optimizer, criterion, epochs, loss_names,
                                             fetch_model_data, eval_rng,
                                             val_loader.batch_size, num_inputs, mesh=mesh)
             total_val = float(cur_val[-n_main:].sum())
-            _print_eval("Validation", total_val, loss_names, cur_val)
+            _print_eval("Validation", total_val, loss_names, cur_val, printer=log)
             val_losses.append([total_val, cur_val.tolist()])
             if mtll is not None:
                 val_raw_losses.append([float(cur_val_raw[-n_main:].sum()),
@@ -351,7 +376,7 @@ def train(model, train_loader, optimizer, criterion, epochs, loss_names,
                                     "train_raw_losses": train_raw_losses,
                                     "val_raw_losses": val_raw_losses}})
 
-    print("Lowest val_loss is", best_val_loss)
+    log("Lowest val_loss is", best_val_loss)
     checkpoint["train_losses"] = train_losses
     checkpoint["val_losses"] = val_losses
     checkpoint["train_raw_losses"] = train_raw_losses
@@ -360,9 +385,9 @@ def train(model, train_loader, optimizer, criterion, epochs, loss_names,
     return checkpoint
 
 
-def _print_eval(name, total, loss_names, losses):
+def _print_eval(name, total, loss_names, losses, printer=print):
     tag = f"({name})"
-    print(f"{tag:>12} Loss: {total: 7.4f}", end="")
+    printer(f"{tag:>12} Loss: {total: 7.4f}", end="")
     for loss_name, loss in zip(loss_names, losses):
-        print(f"   {loss_name}: {loss: 6.4f}", end="")
-    print()
+        printer(f"   {loss_name}: {loss: 6.4f}", end="")
+    printer()

@@ -7,7 +7,12 @@ attention mode: dot (v3, hand-written Pallas VJP), v1 (concat), v4
 Records the speedup each configuration's users get from
 use_pallas_segment_scan (VERDICT r2 item 6).
 
+--forward_only times the inference path instead (no VJP): the serving
+regime where the widened modes' recompute backward never runs (VERDICT r3
+item 3). Combine with --batch 1 --t 128 for the streaming window shape.
+
 Usage: python tools/bench_segment_modes.py [--hidden 512] [--t 167]
+       python tools/bench_segment_modes.py --forward_only [--batch 1 --t 128]
 """
 import argparse
 import json
@@ -28,6 +33,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--modes", default="dot,v1,v4,dist,mp")
+    ap.add_argument("--forward_only", action="store_true",
+                    help="time inference (no grad) instead of a train step")
     args = ap.parse_args()
 
     import jax
@@ -88,16 +95,19 @@ def main():
                                      u_h, u_o, mask, *dists3)
             return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in out[:2])
 
-        row = {}
+        row = {"forward_only": bool(args.forward_only)}
         for name, fn in [("kernel", loss_kernel), ("xla", loss_xla)]:
-            g = jax.jit(jax.value_and_grad(fn))
-            v, _ = g(seg_params)          # compile + warm
-            np.asarray(v)
+            if args.forward_only:
+                g = jax.jit(fn)
+                fetch = lambda r: np.asarray(r)
+            else:
+                g = jax.jit(jax.value_and_grad(fn))
+                fetch = lambda r: np.asarray(r[0])
+            fetch(g(seg_params))          # compile + warm
             best = float("inf")
             for _ in range(5):
                 t0 = time.perf_counter()
-                v, grads = g(seg_params)
-                np.asarray(v)
+                fetch(g(seg_params))
                 best = min(best, time.perf_counter() - t0)
             row[name] = round(best * 1000, 3)
         row["speedup"] = round(row["xla"] / row["kernel"], 3)

@@ -20,6 +20,13 @@ import os
 import sys
 
 import jax
+
+# Honor an explicit JAX_PLATFORMS env var even when a sitecustomize has
+# programmatically registered/pinned another backend (this container pins a
+# remote-TPU backend; JAX_PLATFORMS=cpu must still force CPU runs).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import optax
 
 from tggcn.config import compose, save_config
@@ -52,6 +59,19 @@ def main(argv=None):
     # Observability toggles (SURVEY.md §5.1-5.2): NaN debugging aborts on the
     # first non-finite value inside jit; the profiler traces the first epoch.
     resources = cfg.get("resources", default_value={})
+
+    # Multi-host: join the global runtime BEFORE touching any device. The
+    # launch contract comes from resources.distributed.* or the
+    # TGGCN_COORDINATOR / TGGCN_NUM_PROCESSES / TGGCN_PROCESS_ID env vars
+    # (no-op single-process otherwise). See tggcn/parallel/distributed.py.
+    from tggcn.parallel.distributed import is_main_process, maybe_initialize
+
+    dist_conf = resources.get("distributed", {})
+    distributed = maybe_initialize(
+        coordinator_address=dist_conf.get("coordinator_address"),
+        num_processes=dist_conf.get("num_processes"),
+        process_id=dist_conf.get("process_id"),
+        auto=bool(dist_conf.get("auto", False)))
     if resources.get("debug_nans", False):
         jax.config.update("jax_debug_nans", True)
     profiler_dir = resources.get("jax_profiler_dir")
@@ -85,7 +105,12 @@ def main(argv=None):
         mtll = init_mtll(loss_types=loss_types, mask=mask)
 
     mesh = None
-    num_devices = cfg.get("resources", default_value={}).get("num_devices", 1)
+    num_devices = resources.get("num_devices", 1)
+    if distributed:
+        # Multi-process runs always span the full global device set
+        # (jax.devices() is global once distributed.initialize has run).
+        num_devices = num_devices if num_devices and num_devices > 1 \
+            else len(jax.devices())
     if num_devices and num_devices > 1:
         mesh = make_mesh(num_devices)
         if batch_size % num_devices != 0:
@@ -102,7 +127,7 @@ def main(argv=None):
 
     log_dir = cfg.logging.get("log_dir")
     checkpoint_name = cfg.logging.get("checkpoint_name")
-    if log_dir is not None:
+    if log_dir is not None and is_main_process():
         os.makedirs(log_dir, exist_ok=True)
         # Frozen config: predict.py re-loads this copy (reference predict.py:22-23).
         save_config(cfg, os.path.join(log_dir, ".hydra", "config.yaml"))
@@ -152,7 +177,9 @@ def main(argv=None):
                        initial_checkpoint=initial_checkpoint)
     if profiler_dir:
         jax.profiler.stop_trace()
-    if log_dir is not None:
+    if log_dir is not None and is_main_process():
+        # Process 0 owns the run-dir writes; its replicated copy IS the
+        # global state (tggcn/parallel/distributed.py).
         checkpoint["scalers"] = scalers
         save_checkpoint(log_dir, checkpoint, checkpoint_name=checkpoint_name,
                         include_timestamp=False,
