@@ -83,10 +83,35 @@ def run_inference(run: RunDir, frame_to_segment_level: bool = False,
     names = head_names(run.model_name, run.input_type, run.dataset_name)
     num_inputs = 8 if run.model_name == "2G-GCN" else 3
 
-    @jax.jit
+    def make_forward(fwd_model):
+        @jax.jit
+        def forward(params, data):
+            return fwd_model.apply(params, train=False,
+                                   rng=jax.random.PRNGKey(42),
+                                   inspect_model=inspect_model, **feed(data))
+        return forward
+
+    # First batch is guarded: a kernel compile failure downgrades inference
+    # to the XLA path instead of crashing (models/fallback.py).
+    state = {"forward": make_forward(model), "model": model, "first": True}
+
     def forward(params, data):
-        return model.apply(params, train=False, rng=jax.random.PRNGKey(42),
-                           inspect_model=inspect_model, **feed(data))
+        if not state["first"]:
+            return state["forward"](params, data)
+        state["first"] = False
+        from tggcn.models.fallback import call_with_kernel_fallback
+
+        def rebuild(fb_model):
+            state["forward"] = make_forward(fb_model)
+
+        def attempt():
+            output, aux = state["forward"](params, data)
+            np.asarray(output[0])
+            return output, aux
+
+        result, state["model"] = call_with_kernel_fallback(
+            attempt, rebuild, state["model"], "inference")
+        return result
 
     batch_size = min(EVAL_BATCH_SIZE, test_loader.num_examples)
     collected: Dict[str, List[np.ndarray]] = {n: [] for n in names}

@@ -265,9 +265,45 @@ def train(model, train_loader, optimizer, criterion, epochs, loss_names,
         trainable = replicate(trainable, mesh)
         opt_state = replicate(opt_state, mesh)
 
-    train_step = make_train_step(model, feed_model_data, criterion, optimizer,
-                                 clip_gradient_at=clip_gradient_at, mtll=mtll, mesh=mesh)
-    eval_step = make_eval_step(model, feed_model_data, criterion, mtll=mtll, mesh=mesh)
+    steps = {
+        "train": make_train_step(model, feed_model_data, criterion, optimizer,
+                                 clip_gradient_at=clip_gradient_at, mtll=mtll,
+                                 mesh=mesh),
+        "eval": make_eval_step(model, feed_model_data, criterion, mtll=mtll,
+                               mesh=mesh),
+        "model": model,
+        "guarded_first_call": True,
+    }
+
+    def train_step(*args):
+        """First call is guarded: a kernel compile failure downgrades the
+        whole run to the XLA path instead of crashing (models/fallback.py).
+        Later calls hit the compiled program directly."""
+        if not steps["guarded_first_call"]:
+            return steps["train"](*args)
+        steps["guarded_first_call"] = False
+        from tggcn.models.fallback import call_with_kernel_fallback
+
+        def rebuild(fb_model):
+            steps["train"] = make_train_step(
+                fb_model, feed_model_data, criterion, optimizer,
+                clip_gradient_at=clip_gradient_at, mtll=mtll, mesh=mesh)
+            steps["eval"] = make_eval_step(fb_model, feed_model_data,
+                                           criterion, mtll=mtll, mesh=mesh)
+
+        def attempt():
+            result = steps["train"](*args)
+            # Force one output: compile errors raise at dispatch, Mosaic
+            # launch errors only on fetch. One sync, first step only.
+            np.asarray(result[2])
+            return result
+
+        result, steps["model"] = call_with_kernel_fallback(
+            attempt, rebuild, steps["model"], "train step")
+        return result
+
+    def eval_step(*args):
+        return steps["eval"](*args)
 
     batch_size = train_loader.batch_size
     root_rng = jax.random.PRNGKey(seed)

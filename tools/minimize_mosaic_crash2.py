@@ -87,6 +87,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cases", default=None)
     ap.add_argument("--one", default=None, help="run ONE case in-process")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="run each case N times (determinism probe)")
+    ap.add_argument("--fresh-cache", action="store_true",
+                    help="unique JAX_COMPILATION_CACHE_DIR per subprocess so "
+                         "every run does a real remote compile (an 'ok' from "
+                         "a shared cache may be a cache hit, not a compile)")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.one:
         import jax
@@ -100,23 +107,31 @@ def main():
 
     names = args.cases.split(",") if args.cases else list(CASES)
     rows = []
-    for name in names:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one", name],
-            capture_output=True, text=True, timeout=3000)
-        row = None
-        for line in proc.stdout.splitlines():
-            if line.startswith("{"):
-                row = json.loads(line)
-        if row is None:
-            row = {"case": name,
-                   "status": f"subprocess rc={proc.returncode}: "
-                             f"{proc.stderr[-300:]}"}
-        rows.append(row)
-        print(json.dumps(row), flush=True)
-    with open(OUT, "w") as f:
-        json.dump(rows, f, indent=1)
-    print(f"# wrote {OUT}", flush=True)
+    out_path = args.out or OUT
+    for rep in range(args.repeat):
+        for name in names:
+            env = dict(os.environ)
+            if args.fresh_cache:
+                env["JAX_COMPILATION_CACHE_DIR"] = (
+                    f"/tmp/jaxcache_probe_{name}_{rep}")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True, text=True, timeout=3000, env=env)
+            row = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    row = json.loads(line)
+            if row is None:
+                row = {"case": name,
+                       "status": f"subprocess rc={proc.returncode}: "
+                                 f"{proc.stderr[-300:]}"}
+            row["rep"] = rep
+            row["fresh_cache"] = bool(args.fresh_cache)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+            with open(out_path, "w") as f:
+                json.dump(rows, f, indent=1)
+    print(f"# wrote {out_path}", flush=True)
 
 
 if __name__ == "__main__":
