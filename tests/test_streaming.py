@@ -104,6 +104,43 @@ def test_streaming_bounded_lookahead_runs_and_shapes(small_model):
         assert np.isfinite(s).all()
 
 
+def test_full_lookahead_matches_offline_at_protocol_level(small_model):
+    """Protocol-level equivalence (VERDICT r3 item 4): with full lookahead,
+    streaming predictions must yield IDENTICAL argmaxed labels, micro/macro
+    F1 and F1@k as the offline bidirectional path — not merely close raw
+    outputs. Offline semantics: reference vhoi/models.py:785-899."""
+    from tggcn.eval.reporting import evaluate_f1_at_k, evaluate_predictions
+
+    cfg, params = small_model
+    t = 16
+    x_human, x_objects, mask, seg = _inputs(t=t, seed=12)
+    offline, _ = apply_tggcn(params, cfg, x_human, x_objects, mask,
+                             human_segmentation=seg,
+                             steps_per_example=np.full((1,), float(t),
+                                                       np.float32),
+                             train=False, rng=jax.random.PRNGKey(42))
+    runner = StreamingRunner(params, cfg, window=5, lookahead=t,
+                             rng=jax.random.PRNGKey(42))
+    streamed = runner.run(x_human, x_objects, mask, human_segmentation=seg)
+
+    rng = np.random.default_rng(3)
+    targets, preds_off, preds_str = {}, {}, {}
+    for name, idx in (("sub-activity_recognition", -2),
+                      ("sub-activity_prediction", -1)):
+        off = np.argmax(np.asarray(offline[idx]), axis=1)
+        stream = np.argmax(np.asarray(streamed[idx]), axis=1)
+        np.testing.assert_array_equal(off, stream, err_msg=name)
+        preds_off[name], preds_str[name] = off, stream
+        targets[name] = rng.integers(0, 13, size=off.shape).astype(np.float64)
+
+    frame_off = evaluate_predictions(targets, preds_off, print_report=False)
+    frame_str = evaluate_predictions(targets, preds_str, print_report=False)
+    assert frame_off == frame_str
+    f1_off = evaluate_f1_at_k(targets, preds_off, 13, None, overlap=0.25)
+    f1_str = evaluate_f1_at_k(targets, preds_str, 13, None, overlap=0.25)
+    assert f1_off == f1_str
+
+
 def test_process_window_stepwise_matches_run(small_model):
     """The caller-owned step-wise API (process_window) threads carries and
     emit boundaries identically to run()."""

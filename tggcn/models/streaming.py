@@ -42,7 +42,22 @@ from tggcn.models.tggcn import TGGCNConfig, _work_dtype, apply_tggcn
 class StreamingRunner:
     def __init__(self, params: dict, cfg: TGGCNConfig, window: int, lookahead: int,
                  rng: Optional[jax.Array] = None, fuse_group: int = 16,
-                 fuse_directions: Optional[bool] = None):
+                 fuse_directions: Optional[bool] = None,
+                 allow_reference_geometry: bool = False):
+        if (getattr(cfg, "geometry_flatten", "reference") != "per_frame"
+                and not allow_reference_geometry):
+            # The reference-parity geometry reshape raw-memory-mixes the
+            # TIME axis into the feature axis (models/tggcn.py, reference
+            # models.py:644-645), so a window's geometry features depend on
+            # the chunk length — windowed inference then silently diverges
+            # from the offline model wherever geometry feeds the graph
+            # (measured ~5e-3 on segment-level heads, round 4). Train
+            # streaming-destined models with geometry_flatten='per_frame'.
+            raise ValueError(
+                "StreamingRunner requires geometry_flatten='per_frame': the "
+                "'reference' flatten couples geometry features to the clip "
+                "length, which windowing changes. Pass "
+                "allow_reference_geometry=True to accept the approximation.")
         self.params = params
         # Default to per-direction kernel launches for streaming: at B=1 the
         # direction fusion's outside-kernel concat/flip/slice traffic

@@ -894,6 +894,13 @@ def _segment_scan_fast(params, cfg: TGGCNConfig, x_hs, x_os, u_h, u_o, objects_m
             scores = jax.nn.relu(scores)
         elif cfg.attention_style in {"v2", "dot-product", "v3", "scaled_dot-product"}:
             scores = jnp.einsum("dbnh,dbmh->dbnm", recv, send) * scale
+            if scale == 1.0:
+                # Unscaled dot ('v2'): same TPU-compiler SIGABRT workaround
+                # as tggcn.nn.messages.compute_attention_weights — the bare
+                # einsum->masked-softmax fusion crashes the backend; v3's
+                # scale multiply (not folded away) avoids it. Numerics
+                # unchanged; identity under grad.
+                scores = jax.lax.optimization_barrier(scores)
         else:  # v4 / general bilinear
             bil = params[edge]["segment"]["att"]
             scores = jnp.einsum("dbnh,hk,dbmk->dbnm", recv, bil["w"][0], send)

@@ -63,6 +63,15 @@ def attention_weights(query: jnp.ndarray, keys: jnp.ndarray, keys_mask: jnp.ndar
         scores = jnp.einsum("...rf,...sf->...rs", query, keys)
         if attention_style in {"v3", "scaled_dot-product"}:
             scores = scores / math.sqrt(keys.shape[-1])
+        else:
+            # Unscaled dot ('v2'): the score einsum fusing straight into the
+            # masked softmax SIGABRTs the TPU compiler (deterministic, every
+            # v2 XLA-path program at golden-fixture shapes; v3 differs only
+            # by the scalar division above and compiles clean — round-4
+            # bisect, tools/minimize_mosaic_crash2.py). The barrier keeps
+            # the einsum out of the softmax fusion; numerics are unchanged
+            # and the barrier is identity under grad.
+            scores = jax.lax.optimization_barrier(scores)
     else:  # v4 or general
         r, s = query.shape[-2], keys.shape[-2]
         q = jnp.broadcast_to(query[..., :, None, :], query.shape[:-2] + (r, s, query.shape[-1]))

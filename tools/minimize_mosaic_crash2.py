@@ -80,6 +80,16 @@ CASES = {
     "all3_strategy_s": (dict(time_position_strategy="s"), ALL3, 3),
     "all3_o4": ({}, ALL3, 4),
     "all3_v3": (dict(attention_style="v3"), ALL3, 3),
+    # Round-4 finding: the KERNEL path compiles clean (repro_all3 ok on
+    # fresh caches) while the PURE-XLA program SIGABRTs the compile helper
+    # deterministically — the crash lives in XLA, not Mosaic. These ablate
+    # the crash config's features with kernels OFF to find the XLA trigger.
+    "nok_no_share": (dict(share_level_mlps=False), {}, 3),
+    "nok_no_timepos": (dict(add_time_position=False), {}, 3),
+    "nok_style_e": (dict(positional_encoding_style="e"), {}, 3),
+    "nok_strategy_s": (dict(time_position_strategy="s"), {}, 3),
+    "nok_v3": (dict(attention_style="v3"), {}, 3),
+    "nok_st_only": (dict(add_time_position=False, share_level_mlps=False), {}, 3),
 }
 
 

@@ -41,7 +41,7 @@ import numpy as np
 OVERLAPS = (0.1, 0.25, 0.5)
 
 
-def train_fold(root: str, epochs: int) -> str:
+def train_fold(root: str, epochs: int, strategy: str = "st") -> str:
     from tggcn.data.synthetic import generate_mphoi_dataset
     import train as train_cli
 
@@ -60,6 +60,18 @@ def train_fold(root: str, epochs: int) -> str:
         "data.cross_validation_test_subject=Subject45",
         "parameters.hidden_size=16", f"optimization.epochs={epochs}",
         "optimization.batch_size=2", "optimization.val_fraction=0.2",
+        # Deterministic segment decisions: the default 'gs' estimator draws
+        # gumbel noise at EVAL time too (matching the reference), and the
+        # noise is shaped by the call's time length — offline (T) and
+        # windowed (chunk) calls would resample different decisions, which
+        # is stochastic variance, not lookahead error. 'st' isolates the
+        # quantity under study.
+        f"parameters.discrete_optimization_strategy={strategy}",
+        # Streaming-compatible geometry: the default 'reference' flatten
+        # raw-memory-couples geometry features to the clip length, so
+        # windowed chunks compute different features than the offline pass
+        # (StreamingRunner refuses it). 'per_frame' is the fixed variant.
+        "parameters.geometry_flatten=per_frame",
         f"logging.root_log_dir={root}/outputs/mphoi/2G-GCN",
     ]
     train_cli.main(overrides)
@@ -190,12 +202,15 @@ def main():
     ap.add_argument("--window", type=int, default=32)
     ap.add_argument("--lookaheads", default="8,16,32,64,128")
     ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--strategy", default="st",
+                    help="discrete estimator; 'st' is deterministic (see "
+                         "train_fold), 'gs' adds eval-time sampling noise")
     ap.add_argument("--run_dir", default=None,
                     help="skip training, evaluate this run dir")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     lookaheads = [int(x) for x in args.lookaheads.split(",")]
-    run_dir = args.run_dir or train_fold(args.root, args.epochs)
+    run_dir = args.run_dir or train_fold(args.root, args.epochs, args.strategy)
     print(f"=== evaluating {run_dir} ===", flush=True)
     report = evaluate_variants(run_dir, args.window, lookaheads)
     report["run_dir"] = run_dir
