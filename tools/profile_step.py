@@ -1,0 +1,139 @@
+"""Device-trace one headline train step and rank the top HLO ops.
+
+VERDICT r3 item 6: the ~19 ms headline step splits ~5.4 ms forward+loss /
+~13 ms backward+optimizer (tools/bench_breakdown.py ablations), but the
+backward tail was never attributed op-by-op. This captures a
+jax.profiler device trace of the bench.py workload (B=8 T=167 h512 bf16 +
+kernels, single unfused steps so forward/backward boundaries stay visible)
+and converts the xplane via tensorboard_plugin_profile into an HLO-op time
+ranking.
+
+Usage: python tools/profile_step.py [--steps 3] [--out /tmp/profile_step.json]
+       [--logdir /tmp/jaxprof]
+
+If the remote-TPU backend does not support device tracing, the tool says so
+explicitly (host-only trace => no TPU op table) instead of fabricating
+numbers.
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_step():
+    """The bench.py workload as a single (unfused) jitted train step."""
+    import jax
+    import optax
+
+    from tggcn.config import Config
+    from tggcn.data.loading import (select_model_data_feeder,
+                                    select_model_data_fetcher)
+    from tggcn.models import select_model
+    from tggcn.train.loop import make_train_step
+    from tggcn.train.losses import select_loss
+
+    b, t, num_humans, num_objects, hidden = 8, 167, 2, 4, 512
+    model = select_model(
+        "2G-GCN", input_size=(2152, 2048), num_classes=(13, None),
+        hidden_size=hidden, gcn_node=26,
+        message_humans_to_human=True, message_human_to_objects=True,
+        message_objects_to_human=True, message_objects_to_object=True,
+        message_geometry_to_objects=True, message_segment=True,
+        message_type="v2", message_granularity="v1", message_aggregation="att",
+        attention_style="v3", discrete_optimization_strategy="gs",
+        object_segment_update_strategy="ind",
+        compute_dtype="bfloat16", use_pallas_gru=True,
+        use_pallas_segment_scan=True)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = optax.adam(1e-4)
+    cfg = Config({"misc": Config({})})
+    criterion, _ = select_loss("2G-GCN", "multiple", "mphoi", cfg=cfg)
+    feeder = select_model_data_feeder("2G-GCN", "multiple",
+                                      dataset_name="mphoi",
+                                      impose_segmentation_pattern=1)
+    fetcher = select_model_data_fetcher("2G-GCN", "multiple",
+                                        dataset_name="mphoi")
+    rng = np.random.default_rng(0)
+    x_human = rng.normal(size=(b, t, num_humans, 2152)).astype(np.float32)
+    x_objects = rng.normal(size=(b, t, num_objects, 2048)).astype(np.float32)
+    mask = np.ones((b, num_objects), dtype=np.float32)
+    steps = np.full((b,), float(t), dtype=np.float32)
+    x_hseg = np.ones((b, t, num_humans), dtype=np.float32)
+    dummy = np.zeros((b, 1, 1, 1), dtype=np.float32)
+    y_seg = rng.integers(0, 2, size=(b, t, num_humans)).astype(np.float32)
+    y_rec = rng.integers(0, 13, size=(b, t, num_humans)).astype(np.int64)
+    batch = jax.device_put([x_human, x_objects, mask, x_hseg, dummy, dummy,
+                            dummy, steps, y_seg, y_seg, y_rec, y_rec, y_rec,
+                            y_rec])
+    data, targets = fetcher(batch)
+    step = make_train_step(model, feeder, criterion, optimizer)
+    trainable = {"model": params}
+    opt_state = optimizer.init(trainable)
+    return step, trainable, opt_state, data, targets
+
+
+def summarize_xspace(logdir: str):
+    """HLO-op time table from the captured xplane (None if no device data)."""
+    from tensorboard_plugin_profile.convert import raw_to_tool_data
+
+    xplanes = sorted(glob.glob(os.path.join(
+        logdir, "plugins", "profile", "*", "*.xplane.pb")))
+    if not xplanes:
+        return None, "no xplane.pb captured"
+    data = raw_to_tool_data.xspace_to_tool_data(
+        [xplanes[-1]], "hlo_stats", {})
+    if isinstance(data, tuple):
+        data = data[0]
+    table = json.loads(data) if isinstance(data, (str, bytes)) else data
+    return table, None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--logdir", default="/tmp/jaxprof")
+    ap.add_argument("--out", default="/tmp/profile_step.json")
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args()
+
+    import jax
+
+    print(f"# devices: {jax.devices()}", flush=True)
+    step, trainable, opt_state, data, targets = build_step()
+    key = jax.random.PRNGKey(0)
+    # Warmup (compile) outside the trace.
+    trainable, opt_state, losses, _ = step(trainable, opt_state, key, data,
+                                           targets)
+    np.asarray(losses)
+    print("# warmup done, tracing", flush=True)
+    jax.profiler.start_trace(args.logdir)
+    for i in range(args.steps):
+        trainable, opt_state, losses, _ = step(
+            trainable, opt_state, jax.random.fold_in(key, i), data, targets)
+    np.asarray(losses)
+    jax.profiler.stop_trace()
+    print("# trace stopped, converting", flush=True)
+
+    table, err = summarize_xspace(args.logdir)
+    result = {"steps": args.steps, "error": err}
+    if table is not None:
+        with open(args.out + ".raw.json", "w") as f:
+            json.dump(table, f)
+        result["raw"] = args.out + ".raw.json"
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"# wrote {args.out}")
+    print("PROFILE-DONE" if err is None else f"PROFILE-NODATA: {err}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
