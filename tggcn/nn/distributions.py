@@ -46,4 +46,6 @@ def discrete_estimator(x: jnp.ndarray, strategy: str = "straight-through",
         if key is None:
             raise ValueError("gumbel-sigmoid strategy requires a PRNG key.")
         return straight_through_gumbel_sigmoid(key, x, threshold=threshold)
-    raise ValueError(f"strategy must be either straight-through or gumbel-sigmoid, not {strategy}.")
+    raise ValueError(
+        f"unknown discrete-estimator strategy {strategy!r}; expected "
+        "'straight-through'/'st' or 'gumbel-sigmoid'/'gs'.")

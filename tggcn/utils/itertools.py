@@ -13,7 +13,7 @@ import numpy as np
 def negative_range(n: int) -> range:
     """Range iterating through -1, -2, ..., -n (reference pyrutils/itertools.py:5)."""
     if n < 1:
-        raise ValueError(f"Input parameter n must be positive, but {n} was given as input.")
+        raise ValueError(f"negative_range needs n >= 1, got {n}.")
     return range(-1, -n - 1, -1)
 
 
