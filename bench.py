@@ -178,8 +178,14 @@ def main():
                                                 data_stack, target_stack)
         np.asarray(losses)
         trials_two.append(time.perf_counter() - start)
-    device_window = max(min(trials_two) - elapsed, 1e-9)
-    device_step_ms = device_window / num_steps * 1e3
+    device_window = min(trials_two) - elapsed
+    # The difference is only meaningful when the marginal window is clearly
+    # positive: a tunnel load spike during the one-window trials can make it
+    # vanish (or go negative). Expected device share of a window on this
+    # setup is >> 20%; below that, report null rather than a fabricated
+    # device rate.
+    window_valid = device_window > 0.2 * elapsed
+    device_step_ms = (device_window / num_steps * 1e3) if window_valid else None
 
     clips_per_sec = num_steps * b / elapsed
     vs_baseline = (clips_per_sec / REFERENCE_CPU_CLIPS_PER_SEC
@@ -189,8 +195,9 @@ def main():
         "value": round(clips_per_sec, 3),
         "unit": "clips/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-        "device_step_ms": round(device_step_ms, 3),
-        "device_clips_per_sec": round(b / (device_window / num_steps), 1),
+        "device_step_ms": round(device_step_ms, 3) if window_valid else None,
+        "device_clips_per_sec": (round(b / (device_window / num_steps), 1)
+                                 if window_valid else None),
         "best_of": best_of,
         "trials_one_window_ms": [round(x * 1e3, 1) for x in trials_one],
         "trials_two_window_ms": [round(x * 1e3, 1) for x in trials_two],

@@ -95,6 +95,75 @@ def test_train_loop_falls_back_to_xla_on_kernel_compile_failure(monkeypatch):
         np.asarray(ckpt_plain["val_losses"][0][1]), rtol=1e-6)
 
 
+def test_first_call_guard_donation_safe_retry():
+    """A failure surfacing at the output FETCH (after dispatch) must not
+    retry with already-donated buffers: the guarded first attempt runs on
+    copies, the retry on the caller's intact originals."""
+    import jax.numpy as jnp
+
+    from tggcn.models.fallback import FirstCallGuard
+
+    model = select_model("2G-GCN", use_pallas_segment_scan=True, **MODEL_KW)
+    seen, built = [], []
+
+    def build(m):
+        built.append(uses_pallas_kernels(m))
+        donating = jax.jit(lambda x: x * 2.0, donate_argnums=(0,))
+
+        def fn(x):
+            seen.append(x)
+            return donating(x)
+
+        return fn
+
+    fetches = {"n": 0}
+
+    def force(result):
+        fetches["n"] += 1
+        if fetches["n"] == 1:  # simulate a Mosaic launch error at fetch
+            raise jax.errors.JaxRuntimeError("INTERNAL: launch failed")
+        np.asarray(result)
+
+    guard = FirstCallGuard(build, model, "unit", force_output=force,
+                           donate_argnums=(0,))
+    x = jnp.arange(4.0)
+    with pytest.warns(RuntimeWarning, match="Pallas kernels failed"):
+        y = guard(x)
+    np.testing.assert_allclose(np.asarray(y), 2.0 * np.arange(4))
+    assert built == [True, False]
+    # First attempt consumed a COPY; the retry got the original buffer.
+    assert seen[0] is not x and seen[1] is x
+    assert not uses_pallas_kernels(guard.model)
+    # Later calls go straight through (no new build, no guard).
+    guard(jnp.arange(4.0))
+    assert built == [True, False]
+
+
+def test_eval_guard_downgrades_independently():
+    """An eval-program-only compile failure (the train and eval programs
+    fuse differently) downgrades just that guard instead of crashing."""
+    import jax.numpy as jnp
+
+    from tggcn.models.fallback import FirstCallGuard
+
+    model = select_model("2G-GCN", use_pallas_segment_scan=True, **MODEL_KW)
+
+    def build_eval(m):
+        if uses_pallas_kernels(m):
+            def boom(*args):
+                raise jax.errors.JaxRuntimeError(
+                    "INTERNAL: tpu_compile_helper subprocess exit signal "
+                    "SIGABRT (6)")
+            return boom
+        return lambda x: x + 1.0
+
+    guard = FirstCallGuard(build_eval, model, "eval step")
+    with pytest.warns(RuntimeWarning, match="Pallas kernels failed"):
+        out = guard(jnp.float32(1.0))
+    assert float(out) == 2.0
+    assert not uses_pallas_kernels(guard.model)
+
+
 def test_train_loop_surfaces_non_compile_errors(monkeypatch):
     import tggcn.ops.segment_scan_pallas as seg_mod
 

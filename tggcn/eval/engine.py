@@ -93,25 +93,11 @@ def run_inference(run: RunDir, frame_to_segment_level: bool = False,
 
     # First batch is guarded: a kernel compile failure downgrades inference
     # to the XLA path instead of crashing (models/fallback.py).
-    state = {"forward": make_forward(model), "model": model, "first": True}
+    from tggcn.models.fallback import FirstCallGuard
 
-    def forward(params, data):
-        if not state["first"]:
-            return state["forward"](params, data)
-        state["first"] = False
-        from tggcn.models.fallback import call_with_kernel_fallback
-
-        def rebuild(fb_model):
-            state["forward"] = make_forward(fb_model)
-
-        def attempt():
-            output, aux = state["forward"](params, data)
-            np.asarray(output[0])
-            return output, aux
-
-        result, state["model"] = call_with_kernel_fallback(
-            attempt, rebuild, state["model"], "inference")
-        return result
+    forward = FirstCallGuard(
+        make_forward, model, "inference",
+        force_output=lambda r: np.asarray(r[0][0]))
 
     batch_size = min(EVAL_BATCH_SIZE, test_loader.num_examples)
     collected: Dict[str, List[np.ndarray]] = {n: [] for n in names}

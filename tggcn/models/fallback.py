@@ -77,6 +77,96 @@ def is_backend_or_compile_error(exc: BaseException) -> bool:
     return "pallas" in mod or "mosaic" in mod
 
 
+def _copy_donatable(tree):
+    """On-device copies of every fully-addressable array in the pytree.
+
+    Used by FirstCallGuard to keep the caller's buffers alive through a
+    guarded first call of a DONATING program: if the failure surfaces only
+    at the output fetch (Mosaic launch errors do), the dispatched execution
+    has already consumed its donated inputs — so the first attempt runs on
+    copies and the retry gets the intact originals. Non-fully-addressable
+    arrays (multi-process global arrays) pass through uncopied: copying
+    them requires a collective, and a post-dispatch failure is equally
+    fatal on every process anyway.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def cp(a):
+        if isinstance(a, jax.Array) and a.is_fully_addressable:
+            return jnp.array(a, copy=True)
+        return a
+
+    return jax.tree_util.tree_map(cp, tree)
+
+
+class FirstCallGuard:
+    """Guard the first invocation of a compiled program with the kernel
+    fallback.
+
+    ``build(model)`` must return the compiled callable. The first call runs
+    under `call_with_kernel_fallback`: a backend/compile error with kernels
+    on rebuilds via ``build(without_pallas_kernels(model))`` and retries
+    once. Every later call dispatches straight to the compiled program.
+
+    ``force_output(result)`` should fetch one output value so errors that
+    surface only at fetch time are caught inside the guard (one extra sync,
+    first call only).
+
+    ``donate_argnums`` marks arguments the program donates; the guarded
+    first attempt substitutes device copies for them (see _copy_donatable)
+    and the retry uses the caller's originals.
+
+    ``on_downgrade(fb_model)`` lets the caller downgrade sibling programs
+    that embed the same kernels (e.g. the train guard downgrades the eval
+    program with it).
+    """
+
+    def __init__(self, build, model: ModelDef, context: str,
+                 force_output=None, donate_argnums=(), on_downgrade=None):
+        self._build = build
+        self.fn = build(model)
+        self.model = model
+        self._context = context
+        self._force = force_output
+        self._donate = tuple(donate_argnums)
+        self._on_downgrade = on_downgrade
+        self._first = True
+
+    def downgrade(self, fb_model: ModelDef):
+        """Swap in a kernels-off program without tripping the guard again."""
+        self.fn = self._build(fb_model)
+        self.model = fb_model
+        self._first = False
+
+    def __call__(self, *args):
+        if not self._first:
+            return self.fn(*args)
+        self._first = False
+        first_args = list(args)
+        for i in self._donate:
+            first_args[i] = _copy_donatable(args[i])
+        current = {"args": first_args}
+
+        def rebuild(fb_model):
+            self.fn = self._build(fb_model)
+            # The first attempt may have consumed its (copied) donated
+            # buffers; the retry runs on the caller's intact originals.
+            current["args"] = args
+            if self._on_downgrade is not None:
+                self._on_downgrade(fb_model)
+
+        def attempt():
+            result = self.fn(*current["args"])
+            if self._force is not None:
+                self._force(result)
+            return result
+
+        result, self.model = call_with_kernel_fallback(
+            attempt, rebuild, self.model, self._context)
+        return result
+
+
 def call_with_kernel_fallback(call, rebuild, model: ModelDef, context: str):
     """Run `call()`; on a backend/compile error with kernels on, rebuild
     without kernels via `rebuild(fallback_model)` and run `call()` again.

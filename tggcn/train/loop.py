@@ -265,45 +265,34 @@ def train(model, train_loader, optimizer, criterion, epochs, loss_names,
         trainable = replicate(trainable, mesh)
         opt_state = replicate(opt_state, mesh)
 
-    steps = {
-        "train": make_train_step(model, feed_model_data, criterion, optimizer,
-                                 clip_gradient_at=clip_gradient_at, mtll=mtll,
-                                 mesh=mesh),
-        "eval": make_eval_step(model, feed_model_data, criterion, mtll=mtll,
-                               mesh=mesh),
-        "model": model,
-        "guarded_first_call": True,
-    }
+    # Both compiled programs guard their first call: a kernel compile (or
+    # launch) failure downgrades the run to the XLA path instead of crashing
+    # (models/fallback.py). The train step donates its state buffers, so its
+    # guard runs the first attempt on copies; the train and eval programs
+    # fuse differently, so the eval program gets its own guard (a
+    # train-side downgrade takes the eval program with it, but an eval-only
+    # compile failure must not crash the run after a full training epoch).
+    from tggcn.models.fallback import FirstCallGuard
 
-    def train_step(*args):
-        """First call is guarded: a kernel compile failure downgrades the
-        whole run to the XLA path instead of crashing (models/fallback.py).
-        Later calls hit the compiled program directly."""
-        if not steps["guarded_first_call"]:
-            return steps["train"](*args)
-        steps["guarded_first_call"] = False
-        from tggcn.models.fallback import call_with_kernel_fallback
+    def build_train(m):
+        return make_train_step(m, feed_model_data, criterion, optimizer,
+                               clip_gradient_at=clip_gradient_at, mtll=mtll,
+                               mesh=mesh)
 
-        def rebuild(fb_model):
-            steps["train"] = make_train_step(
-                fb_model, feed_model_data, criterion, optimizer,
-                clip_gradient_at=clip_gradient_at, mtll=mtll, mesh=mesh)
-            steps["eval"] = make_eval_step(fb_model, feed_model_data,
-                                           criterion, mtll=mtll, mesh=mesh)
+    def build_eval(m):
+        return make_eval_step(m, feed_model_data, criterion, mtll=mtll,
+                              mesh=mesh)
 
-        def attempt():
-            result = steps["train"](*args)
-            # Force one output: compile errors raise at dispatch, Mosaic
-            # launch errors only on fetch. One sync, first step only.
-            np.asarray(result[2])
-            return result
-
-        result, steps["model"] = call_with_kernel_fallback(
-            attempt, rebuild, steps["model"], "train step")
-        return result
-
-    def eval_step(*args):
-        return steps["eval"](*args)
+    eval_step = FirstCallGuard(
+        build_eval, model, "eval step",
+        force_output=lambda r: np.asarray(r[0]))
+    train_step = FirstCallGuard(
+        build_train, model, "train step",
+        # Force one output: compile errors raise at dispatch, Mosaic launch
+        # errors only on fetch. One sync, first step only.
+        force_output=lambda r: np.asarray(r[2]),
+        donate_argnums=(0, 1),
+        on_downgrade=eval_step.downgrade)
 
     batch_size = train_loader.batch_size
     root_rng = jax.random.PRNGKey(seed)

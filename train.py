@@ -114,7 +114,9 @@ def main(argv=None):
     if num_devices and num_devices > 1:
         mesh = make_mesh(num_devices)
         if batch_size % num_devices != 0:
-            raise ValueError(f"batch_size {batch_size} must divide num_devices {num_devices}")
+            raise ValueError(
+                f"batch_size {batch_size} must be a multiple of num_devices "
+                f"{num_devices} (the batch is sharded over the data mesh)")
 
     fetch_model_data = select_model_data_fetcher(
         model_name, model_input_type, dataset_name=dataset_name,
