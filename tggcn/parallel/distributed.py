@@ -59,10 +59,14 @@ def maybe_initialize(coordinator_address: Optional[str] = None,
         process_id = int(os.environ["TGGCN_PROCESS_ID"])
     if coordinator_address is None and not auto:
         return False
+    # Coordinator handshake timeout: the jax default (300 s) can trip on a
+    # loaded single-core host where two workers' jax imports serialize.
+    init_timeout = int(os.environ.get("TGGCN_DIST_INIT_TIMEOUT", "600"))
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id,
-                               local_device_ids=local_device_ids)
+                               local_device_ids=local_device_ids,
+                               initialization_timeout=init_timeout)
     _INITIALIZED = True
     return True
 
