@@ -81,19 +81,72 @@ def build_step():
 
 
 def summarize_xspace(logdir: str):
-    """HLO-op time table from the captured xplane (None if no device data)."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    """HLO-op time table from the captured xplane (None if no device data).
+
+    Parses the raw xplane proto directly (tensorflow.tsl.profiler.protobuf)
+    because this environment's tensorboard_plugin_profile converter is
+    broken (protobuf/pywrap version mismatch). Aggregates device-plane
+    XEvent durations per op name; the result always includes the full
+    plane/line inventory so one run is enough to adapt if the backend's
+    trace layout differs.
+    """
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     xplanes = sorted(glob.glob(os.path.join(
         logdir, "plugins", "profile", "*", "*.xplane.pb")))
     if not xplanes:
         return None, "no xplane.pb captured"
-    data = raw_to_tool_data.xspace_to_tool_data(
-        [xplanes[-1]], "hlo_stats", {})
-    if isinstance(data, tuple):
-        data = data[0]
-    table = json.loads(data) if isinstance(data, (str, bytes)) else data
-    return table, None
+    xs = xplane_pb2.XSpace()
+    with open(xplanes[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+
+    inventory = [{"plane": p.name,
+                  "lines": [{"line": l.name, "events": len(l.events)}
+                            for l in p.lines]}
+                 for p in xs.planes]
+
+    def is_device_plane(p):
+        n = p.name.lower()
+        return ("tpu" in n or "/device:" in n) and "host" not in n
+
+    # Preferred: 'XLA Ops' lines on device planes (per-HLO-op events).
+    # Fallback: the busiest line on any device plane.
+    candidates = []
+    for p in xs.planes:
+        if not is_device_plane(p):
+            continue
+        for line in p.lines:
+            score = (1 if "xla ops" in line.name.lower() else 0, len(line.events))
+            candidates.append((score, p, line))
+    if not candidates:
+        return {"inventory": inventory}, "no device plane in trace"
+    candidates.sort(key=lambda c: c[0], reverse=True)
+    _, plane, line = candidates[0]
+    if not line.events:
+        return {"inventory": inventory}, "device plane has no events"
+
+    meta = plane.event_metadata
+    agg = {}
+    t0, t1 = None, None
+    for ev in line.events:
+        name = meta[ev.metadata_id].name if ev.metadata_id in meta else "?"
+        d = agg.setdefault(name, {"total_ps": 0, "count": 0})
+        d["total_ps"] += ev.duration_ps
+        d["count"] += 1
+        start = line.timestamp_ns * 1000 + ev.offset_ps
+        end = start + ev.duration_ps
+        t0 = start if t0 is None else min(t0, start)
+        t1 = end if t1 is None else max(t1, end)
+    total_ps = sum(d["total_ps"] for d in agg.values())
+    ops = sorted(({"op": k, "total_us": v["total_ps"] / 1e6,
+                   "count": v["count"],
+                   "pct": 100.0 * v["total_ps"] / max(total_ps, 1)}
+                  for k, v in agg.items()),
+                 key=lambda r: -r["total_us"])
+    return {"plane": plane.name, "line": line.name,
+            "busy_us": total_ps / 1e6,
+            "span_us": (t1 - t0) / 1e6 if t0 is not None else None,
+            "ops": ops, "inventory": inventory}, None
 
 
 def main():
@@ -125,9 +178,15 @@ def main():
     table, err = summarize_xspace(args.logdir)
     result = {"steps": args.steps, "error": err}
     if table is not None:
-        with open(args.out + ".raw.json", "w") as f:
-            json.dump(table, f)
-        result["raw"] = args.out + ".raw.json"
+        result.update({k: v for k, v in table.items() if k != "ops"})
+        if "ops" in table:
+            result["top_ops"] = table["ops"][:args.top]
+            per_step = table["busy_us"] / args.steps / 1e3
+            print(f"# device busy: {table['busy_us']/1e3:.2f} ms over "
+                  f"{args.steps} steps = {per_step:.2f} ms/step")
+            for r in result["top_ops"]:
+                print(f"  {r['pct']:5.1f}%  {r['total_us']/args.steps:9.1f} "
+                      f"us/step  x{r['count']:<5d} {r['op'][:110]}")
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(f"# wrote {args.out}")
