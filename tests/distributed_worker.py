@@ -93,18 +93,40 @@ def build_workload():
                 val_loader=val_loader)
 
 
-def run_training(mesh, log_dir):
-    """The shared trajectory: 2 epochs of the full train() loop."""
+def run_training(mesh, log_dir, epochs=NUM_EPOCHS, resume=False):
+    """The shared trajectory: `epochs` total epochs of the full train() loop.
+
+    With resume=True, restores last.ckpt from log_dir (train.py's
+    misc.resume contract: every process reads the same snapshot) and runs
+    only the remaining epochs up to the total.
+    """
     from tggcn.train.loop import train
 
     w = build_workload()
+    init_kw = dict(init_params=w["params"])
+    num_epochs = epochs
+    if resume:
+        from tggcn.parallel.distributed import assert_same_across_processes
+        from tggcn.train.checkpoint import load_last
+
+        last = load_last(log_dir)
+        assert last is not None, f"no last.ckpt under {log_dir}"
+        assert_same_across_processes(last["epoch"], "resumed epoch")
+        init_kw = dict(init_params=last["trainable"]["model"],
+                       init_opt_state=last["opt_state"],
+                       initial_epoch=last["epoch"] + 1,
+                       initial_global_step=last.get("global_step", 0),
+                       initial_best_val_loss=last.get("best_val_loss",
+                                                      float("inf")),
+                       initial_checkpoint=last.get("best_checkpoint"))
+        num_epochs = epochs - last["epoch"]
     checkpoint = train(w["model"], w["train_loader"], w["optimizer"],
-                       w["criterion"], NUM_EPOCHS, w["loss_names"],
+                       w["criterion"], num_epochs, w["loss_names"],
                        clip_gradient_at=5.0, fetch_model_data=w["fetcher"],
                        feed_model_data=w["feeder"], val_loader=w["val_loader"],
                        num_main_losses=4, seed=42, mesh=mesh, num_inputs=8,
                        checkpoint_name="distributed_test", log_dir=log_dir,
-                       init_params=w["params"])
+                       **init_kw)
     return checkpoint
 
 
@@ -119,7 +141,9 @@ def main():
     total = len(jax.devices())
     mesh = make_mesh(total)
     log_dir = os.environ["TGGCN_TEST_LOGDIR"]
-    checkpoint = run_training(mesh, log_dir)
+    epochs = int(os.environ.get("TGGCN_TEST_EPOCHS", NUM_EPOCHS))
+    resume = os.environ.get("TGGCN_TEST_RESUME") == "1"
+    checkpoint = run_training(mesh, log_dir, epochs=epochs, resume=resume)
     if jax.process_index() == 0:
         with open(os.environ["TGGCN_TEST_OUT"], "w") as f:
             json.dump({"train_losses": checkpoint["train_losses"],

@@ -30,11 +30,8 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.fixture(scope="module")
-def multiproc_result(tmp_path_factory):
-    """Run the 2-process trajectory once; reuse across assertions."""
-    tmp = tmp_path_factory.mktemp("distributed")
-    out_path = tmp / "result.json"
+def _run_workers(out_path, logdir_for, extra_env=None):
+    """Launch the 2-process worker pair and return process 0's result."""
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -46,11 +43,12 @@ def multiproc_result(tmp_path_factory):
             "TGGCN_NUM_PROCESSES": "2",
             "TGGCN_PROCESS_ID": str(pid),
             "TGGCN_LOCAL_DEVICES": "4",
-            "TGGCN_TEST_LOGDIR": str(tmp / f"rundir_p{pid}"),
+            "TGGCN_TEST_LOGDIR": str(logdir_for(pid)),
             "TGGCN_TEST_OUT": str(out_path),
             "JAX_COMPILATION_CACHE_DIR": env.get("JAX_COMPILATION_CACHE_DIR",
                                                  "/tmp/jaxcache"),
         })
+        env.update(extra_env or {})
         procs.append(subprocess.Popen(
             [sys.executable, WORKER], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
@@ -66,7 +64,15 @@ def multiproc_result(tmp_path_factory):
     for pid, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
     with open(out_path) as f:
-        result = json.load(f)
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def multiproc_result(tmp_path_factory):
+    """Run the 2-process trajectory once; reuse across assertions."""
+    tmp = tmp_path_factory.mktemp("distributed")
+    result = _run_workers(tmp / "result.json",
+                          lambda pid: tmp / f"rundir_p{pid}")
     return result, tmp
 
 
@@ -97,3 +103,23 @@ def test_process_zero_owns_rundir_writes(multiproc_result):
     assert (tmp / "rundir_p0" / "last.ckpt").exists()
     assert not (tmp / "rundir_p1").exists() or \
         not (tmp / "rundir_p1" / "last.ckpt").exists()
+
+
+def test_multiprocess_kill_and_resume(multiproc_result, tmp_path):
+    """A 1-epoch 2-process run + a resumed second epoch reproduce the
+    uninterrupted 2-epoch 2-process trajectory (last.ckpt on storage both
+    processes read — train.py's misc.resume contract for multi-host)."""
+    full, _ = multiproc_result
+    shared = tmp_path / "shared_rundir"
+    _run_workers(tmp_path / "leg1.json", lambda pid: shared,
+                 extra_env={"TGGCN_TEST_EPOCHS": "1"})
+    assert (shared / "last.ckpt").exists()
+    resumed = _run_workers(tmp_path / "leg2.json", lambda pid: shared,
+                           extra_env={"TGGCN_TEST_EPOCHS": "2",
+                                      "TGGCN_TEST_RESUME": "1"})
+    for key in ("train_losses", "val_losses"):
+        got, want = resumed[key], full[key]
+        assert len(got) == len(want)
+        np.testing.assert_allclose(np.asarray(got[-1][1]),
+                                   np.asarray(want[-1][1]),
+                                   rtol=1e-5, atol=1e-6)

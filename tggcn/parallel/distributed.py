@@ -90,6 +90,19 @@ def is_multiprocess(mesh) -> bool:
         d.process_index != jax.process_index() for d in mesh.devices.flat)
 
 
+def assert_same_across_processes(value: int, what: str):
+    """Raise when an integer differs across processes (e.g. the epoch each
+    process restored from last.ckpt — a host that misses the snapshot would
+    silently restart from scratch and diverge)."""
+    from jax.experimental import multihost_utils
+
+    seen = multihost_utils.process_allgather(np.asarray(value, np.int32))
+    if int(seen.min()) != int(seen.max()):
+        raise RuntimeError(
+            f"{what} differs across processes ({seen.tolist()}): every host "
+            "must see the same state (is the run dir on shared storage?).")
+
+
 def make_global_batch(arrays, mesh, sharding=None):
     """Assemble globally-sharded batch arrays from host-replicated numpy.
 

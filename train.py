@@ -154,6 +154,14 @@ def main(argv=None):
             initial_best_val_loss = last.get("best_val_loss", float("inf"))
             initial_checkpoint = last.get("best_checkpoint")
             print(f"Resumed from epoch {last['epoch']} ({log_dir}/last.ckpt)")
+        if distributed:
+            # Every process must restore the SAME snapshot (the run dir has
+            # to live on storage visible to all hosts); a host that misses
+            # last.ckpt would silently restart from scratch and diverge.
+            from tggcn.parallel.distributed import assert_same_across_processes
+
+            assert_same_across_processes(initial_epoch,
+                                         "misc.resume=true restored epoch")
 
     # Run only the remaining epochs up to the configured total.
     num_epochs = max(cfg.optimization.epochs - (initial_epoch - 1), 0)
