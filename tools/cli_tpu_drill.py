@@ -89,9 +89,21 @@ def run_leg(platform: str, root: str) -> dict:
             "val_losses": ckpt["val_losses"]}
 
 
+def _parse_leg_log(path: str) -> dict:
+    with open(path) as f:
+        for line in f:
+            if line.startswith("LEG-RESULT "):
+                return json.loads(line[len("LEG-RESULT "):])
+    raise SystemExit(f"no LEG-RESULT line in {path}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--leg", choices=["tpu", "cpu"], default=None)
+    ap.add_argument("--combine", nargs=2, metavar=("TPU_LOG", "CPU_LOG"),
+                    help="skip running: compare two already-captured "
+                         "LEG-RESULT logs (tunnel outages make the legs "
+                         "land hours apart)")
     ap.add_argument("--root", default="/tmp/cli_drill")
     ap.add_argument("--tol", type=float, default=0.05)
     ap.add_argument("--out", default=OUT)
@@ -103,7 +115,10 @@ def main():
         return
 
     legs = {}
-    for leg in ("tpu", "cpu"):
+    if args.combine:
+        legs = {"tpu": _parse_leg_log(args.combine[0]),
+                "cpu": _parse_leg_log(args.combine[1])}
+    for leg in () if args.combine else ("tpu", "cpu"):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--leg", leg,
              "--root", args.root],
