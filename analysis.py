@@ -80,10 +80,11 @@ def plot_curves(args):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    from tggcn.train.checkpoint import load_checkpoint
+    from tggcn.train.checkpoint import load_run_checkpoint
 
-    basename = os.path.basename(os.path.normpath(args.model_dir))
-    checkpoint = load_checkpoint(os.path.join(args.model_dir, basename + ".ckpt"))
+    # Accepts both native .ckpt run dirs and reference .tar (torch) run dirs
+    # (reference analysis.py:78-90 reads the same keys from its .tar).
+    checkpoint = load_run_checkpoint(args.model_dir)
     plt.figure()
     for key, label in [("train_losses", "train"), ("val_losses", "val")]:
         losses = checkpoint.get(key) or []

@@ -82,6 +82,12 @@ def _dump_fold_artifacts(save_dir, outputs, targets, test_ids,
 
 def predict_all(args):
     run = RunDir(args.pretrained_model_dir)
+    # Honour the run's frozen numerics contract: a run trained/audited under
+    # resources.parity_mode=exact evaluates with the same matmul precision.
+    from tggcn.runtime import apply_parity_mode
+
+    apply_parity_mode(
+        run.cfg.get("resources", default_value={}).get("parity_mode", "fast"))
     subactivity_id_to_name, affordance_id_to_name = run.class_dictionaries()
     subactivity_names = class_names_in_id_order(subactivity_id_to_name)
     affordance_names = class_names_in_id_order(affordance_id_to_name)

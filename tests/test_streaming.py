@@ -169,3 +169,60 @@ def test_process_window_stepwise_matches_run(small_model):
     for i, (a, b) in enumerate(zip(expected, got)):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6,
                                    err_msg=f"output {i}")
+
+
+@pytest.fixture(scope="module")
+def gs_model():
+    """gs-decision model with window-independent (frame-indexed) noise."""
+    cfg = TGGCNConfig(
+        input_size=(2152, 2048), num_classes=(13, None), hidden_size=12,
+        gcn_node=26, message_humans_to_human=True, message_segment=True,
+        message_type="v2", message_granularity="v1", message_aggregation="att",
+        attention_style="v3", discrete_optimization_strategy="gs",
+        object_segment_update_strategy="ind", geometry_flatten="per_frame",
+        gs_noise="frame_indexed")
+    params = init_tggcn(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_gs_with_batched_noise_is_refused(small_model):
+    """Window-resampled gs noise diverges from offline; the runner refuses."""
+    import dataclasses
+
+    cfg, params = small_model
+    cfg_gs = dataclasses.replace(cfg, discrete_optimization_strategy="gs")
+    with pytest.raises(ValueError, match="frame_indexed"):
+        StreamingRunner(params, cfg_gs, window=6, lookahead=6)
+
+
+def test_frame_indexed_gumbel_is_window_invariant():
+    """Noise drawn for absolute frames [w0, w1) equals the offline slice."""
+    from tggcn.nn.distributions import sample_from_gumbel_sigmoid
+
+    key = jax.random.PRNGKey(7)
+    probs = jax.random.uniform(jax.random.PRNGKey(8), (2, 12, 3, 1))
+    full = sample_from_gumbel_sigmoid(key, probs,
+                                      frame_indices=np.arange(12))
+    for w0, w1 in [(0, 6), (6, 12), (3, 9)]:
+        windowed = sample_from_gumbel_sigmoid(
+            key, probs[:, w0:w1], frame_indices=np.arange(w0, w1))
+        np.testing.assert_array_equal(np.asarray(windowed),
+                                      np.asarray(full[:, w0:w1]))
+
+
+def test_gs_streaming_matches_offline_with_full_lookahead(gs_model):
+    """gs decisions sampled inside windows reproduce the offline run when
+    the noise is frame-indexed (VERDICT r4 item 8)."""
+    cfg, params = gs_model
+    t = 12
+    x_human, x_objects, mask, _seg = _inputs(t=t)
+    offline, _ = apply_tggcn(params, cfg, x_human, x_objects, mask,
+                             steps_per_example=np.full((1,), float(t), np.float32),
+                             train=False, rng=jax.random.PRNGKey(42))
+    runner = StreamingRunner(params, cfg, window=6, lookahead=6,
+                             rng=jax.random.PRNGKey(42))
+    streamed = runner.run(x_human, x_objects, mask)
+    assert len(streamed) == len(offline)
+    for i, (s, o) in enumerate(zip(streamed, offline)):
+        np.testing.assert_allclose(s, np.asarray(o), rtol=2e-4, atol=2e-5,
+                                   err_msg=f"output {i}")

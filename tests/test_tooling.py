@@ -43,6 +43,22 @@ class TestAnalysisCli:
         analysis.plot_curves(args)
         assert os.path.exists(run_dir / "loss_curves.png")
 
+    def test_plot_curves_reference_tar_run_dir(self, tmp_path):
+        """plot_curves reads reference .tar (torch) run dirs too."""
+        import torch
+
+        import analysis
+
+        run_dir = tmp_path / "ref_Subject3"
+        run_dir.mkdir()
+        ckpt = {"epoch": 2, "model_state_dict": {},
+                "train_losses": [[2.0, [2.0]], [1.5, [1.5]]],
+                "val_losses": [[2.2, [2.2]], [1.8, [1.8]]]}
+        torch.save(ckpt, str(run_dir / "ref_Subject3.tar"))
+        args = argparse.Namespace(model_dir=str(run_dir), save_file=None)
+        analysis.plot_curves(args)
+        assert os.path.exists(run_dir / "loss_curves.png")
+
     def test_plot_comparison(self, tmp_path):
         import analysis
 

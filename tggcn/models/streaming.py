@@ -58,6 +58,18 @@ class StreamingRunner:
                 "'reference' flatten couples geometry features to the clip "
                 "length, which windowing changes. Pass "
                 "allow_reference_geometry=True to accept the approximation.")
+        if (cfg.discrete_optimization_strategy in {"gumbel-sigmoid", "gs"}
+                and getattr(cfg, "gs_noise", "batched") != "frame_indexed"):
+            # Batched gs noise is drawn over the whole window, so the same
+            # absolute frame resamples different noise depending on where a
+            # window starts — streamed outputs then diverge from offline.
+            # frame-indexed noise (fold_in(key, absolute_frame)) removes the
+            # window dependence; 'st' decisions avoid noise entirely.
+            raise ValueError(
+                "StreamingRunner with gs decisions requires "
+                "gs_noise='frame_indexed' (window-independent noise). "
+                "Rebuild the config with gs_noise='frame_indexed', or serve "
+                "with discrete_optimization_strategy='st'.")
         self.params = params
         # Default to per-direction kernel launches for streaming: at B=1 the
         # direction fusion's outside-kernel concat/flip/slice traffic
@@ -82,13 +94,13 @@ class StreamingRunner:
                                      static_argnames=("num_windows", "with_seg"))
 
     def _forward(self, params, x_human, x_objects, objects_mask, steps, carry,
-                 human_segmentation, is_last):
+                 human_segmentation, frame_offset, is_last):
         outputs, aux = apply_tggcn(
             params, self.cfg, x_human, x_objects, objects_mask,
             human_segmentation=human_segmentation,
             steps_per_example=steps, train=False, rng=self.rng,
             carry=carry if carry else None, return_carry=True,
-            force_last_step_commit=is_last)
+            force_last_step_commit=is_last, frame_offset=frame_offset)
         return outputs, aux["carry_seq"]
 
     def _zero_carry(self, b, num_humans, num_objects, dtype):
@@ -102,7 +114,8 @@ class StreamingRunner:
                 "seg_object": z(num_objects)}
 
     def _forward_fused(self, params, x_human, x_objects, objects_mask, starts,
-                       carry, human_segmentation, num_windows, with_seg):
+                       carry, human_segmentation, base_offset, num_windows,
+                       with_seg):
         """Process `num_windows` interior chunks in ONE lax.scan over start
         offsets. Each step slices a (window + lookahead) chunk from the
         device-resident stream, runs the model with the threaded carry, and
@@ -120,7 +133,8 @@ class StreamingRunner:
                 params, self.cfg, sl(x_human), sl(x_objects), objects_mask,
                 human_segmentation=seg, steps_per_example=steps, train=False,
                 rng=self.rng, carry=carry, return_carry=True,
-                force_last_step_commit=False)
+                force_last_step_commit=False,
+                frame_offset=base_offset + start)
             boundary = self.window - 1
             new_carry = {k: v[:, boundary] for k, v in aux["carry_seq"].items()}
             emitted = tuple(o[:, :, : self.window] if o.ndim == 4
@@ -132,7 +146,8 @@ class StreamingRunner:
         return emitted, carry
 
     def process_window(self, x_human, x_objects, objects_mask, carry=None,
-                       human_segmentation=None, is_last: bool = False):
+                       human_segmentation=None, is_last: bool = False,
+                       frame_offset: int = 0):
         """Process ONE chunk step-wise (online serving: frames arrive
         incrementally and the caller owns the loop).
 
@@ -150,7 +165,8 @@ class StreamingRunner:
                if human_segmentation is not None else None)
         steps = np.full((b,), float(chunk), dtype=np.float32)
         outputs, carry_seq = self._jitted(self.params, xh, xo, objects_mask,
-                                          steps, carry or {}, seg, is_last)
+                                          steps, carry or {}, seg,
+                                          jnp.int32(frame_offset), is_last)
         boundary = min(self.window, chunk) - 1
         carry = {k: v[:, boundary] for k, v in carry_seq.items()}
         return outputs, carry
@@ -205,7 +221,8 @@ class StreamingRunner:
                 starts = jnp.asarray([s - lo for s in group], dtype=jnp.int32)
                 stacked, carry = self._jitted_fused(
                     self.params, xh, xo, objects_mask, starts, carry, seg,
-                    num_windows=len(group), with_seg=seg is not None)
+                    jnp.int32(lo), num_windows=len(group),
+                    with_seg=seg is not None)
                 pending.append(("fused", stacked, None))
             tail_starts = starts_all[len(fused_starts):]
 
@@ -226,7 +243,8 @@ class StreamingRunner:
                 seg = jax.device_put(human_segmentation[:, start:end])
             steps = np.full((b,), float(end - start), dtype=np.float32)
             outputs, carry_seq = self._jitted(self.params, xh, xo, objects_mask,
-                                              steps, carry, seg, is_last)
+                                              steps, carry, seg,
+                                              jnp.int32(start), is_last)
             emit = min(self.window, t - start)
             pending.append(("tail", outputs, emit))
             # Slice the forward carries at the emit boundary so lookahead

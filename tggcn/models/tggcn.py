@@ -147,6 +147,16 @@ class TGGCNConfig:
     # and all returned outputs. See tests/test_bf16.py for the measured
     # deviation study vs the float32 path.
     compute_dtype: str = "float32"
+    # Gumbel-sigmoid noise derivation ('gs' strategy only). 'batched'
+    # (reference-style) draws one noise tensor over the whole (B, T, E)
+    # window, so a sliding-window (streaming) evaluation resamples different
+    # noise at the same absolute frame and diverges from the offline run.
+    # 'frame_indexed' derives the noise for frame t from fold_in(key, t):
+    # identical draws at identical absolute frames regardless of windowing,
+    # making gs streaming bit-consistent with offline (the StreamingRunner
+    # requires it for gs models). Training statistics are unchanged (i.i.d.
+    # Gumbel either way).
+    gs_noise: str = "batched"
     # Matmul precision for the two discrete-decision MLPs
     # (update_{human,object}_segment_mlp) on the float32 path. The TPU
     # default f32 matmul is a bf16x3 emulation whose rounding can flip a
@@ -428,7 +438,8 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
                 train: bool = False, rng: Optional[jax.Array] = None,
                 inspect_model: bool = False,
                 carry: Optional[dict] = None, return_carry: bool = False,
-                force_last_step_commit: bool = True):
+                force_last_step_commit: bool = True,
+                frame_offset=0):
     """Forward pass. Returns (outputs list, aux dict).
 
     aux contains 'bn_state' (updated GeoGCN BatchNorm statistics when
@@ -450,6 +461,13 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
     if rng is None:
         rng = jax.random.PRNGKey(0)
     rng_h, rng_o = jax.random.split(rng)
+    # Absolute frame ids for frame-indexed gs noise (cfg.gs_noise): noise at
+    # frame `frame_offset + i` depends only on (key, absolute frame), so
+    # windowed evaluation samples what the offline run samples.
+    gs_frames = None
+    if (cfg.gs_noise == "frame_indexed"
+            and cfg.discrete_optimization_strategy in {"gumbel-sigmoid", "gs"}):
+        gs_frames = frame_offset + jnp.arange(t, dtype=jnp.int32)
 
     # --- Mixed precision -------------------------------------------------
     work_dtype = _work_dtype(cfg)
@@ -597,7 +615,8 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
                            precision=dec_prec)
         u_h_hard, u_h_soft = discrete_estimator(
             u_soft, strategy=cfg.discrete_optimization_strategy,
-            threshold=cfg.update_segment_threshold, key=rng_h)
+            threshold=cfg.update_segment_threshold, key=rng_h,
+            frame_indices=gs_frames)
         u_h_hard, u_h_soft = u_h_hard[..., 0], u_h_soft[..., 0]  # (B, T, H)
         if force_last_step_commit:
             # Forced commit at the final padded step (reference models.py:701-702).
@@ -620,7 +639,8 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
                                precision=dec_prec)
             u_o_hard, u_o_soft = discrete_estimator(
                 u_soft, strategy=cfg.discrete_optimization_strategy,
-                threshold=cfg.update_segment_threshold, key=rng_o)
+                threshold=cfg.update_segment_threshold, key=rng_o,
+                frame_indices=gs_frames)
             u_o_hard, u_o_soft = u_o_hard[..., 0], u_o_soft[..., 0]
             if cfg.object_segment_update_strategy in {"conditional_on_human", "coh"} and u_hst is not None:
                 u_o_hard = u_o_hard * u_hst

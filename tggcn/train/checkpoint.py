@@ -122,6 +122,29 @@ def load_params_orbax(path: str):
         return checkpointer.restore(os.path.abspath(path))
 
 
+def load_run_checkpoint(model_dir: str) -> dict:
+    """Load a run dir's full checkpoint dict from either backend.
+
+    Accepts this framework's ``<basename>.ckpt`` runs and reference
+    ``<basename>.tar`` (torch) runs; both carry the same metadata keys
+    (epoch, train_losses, val_losses, ...) so offline tooling such as
+    ``analysis.py plot_curves`` (reference analysis.py:78-90) works on
+    either. Weights in a .tar stay as torch tensors — use
+    :func:`load_model_weights` when parameters are needed.
+    """
+    basename = os.path.basename(os.path.normpath(model_dir))
+    ckpt_path = os.path.join(model_dir, basename + ".ckpt")
+    if os.path.exists(ckpt_path):
+        return load_checkpoint(ckpt_path)
+    tar_path = os.path.join(model_dir, basename + ".tar")
+    if os.path.exists(tar_path):
+        import torch
+
+        return torch.load(tar_path, map_location="cpu")
+    raise FileNotFoundError(f"No checkpoint found in {model_dir} "
+                            f"(looked for {basename}.ckpt and {basename}.tar)")
+
+
 def load_model_weights(model_dir: str, cfg=None):
     """Load the model weights from a run dir (reference models.py:1630-1634).
 

@@ -115,6 +115,26 @@ def part_a(fixture_filter=None):
         ok = all(np.allclose(g, w, rtol=2e-3, atol=2e-4)
                  for g, w in zip(out_k, ref_outputs))
         row["golden_contract"] = "PASS" if ok else "FAIL"
+        # Shipped contract: fixtures whose hard decisions flip at TPU-default
+        # matmul precision (bf16x3 rounding on marginal inputs) must pass
+        # under the config-reachable escape hatch, resources.parity_mode=
+        # exact (tggcn/runtime.py). Record which mode satisfied the contract.
+        if ok:
+            row["contract_mode"] = "fast"
+        else:
+            from tggcn.runtime import parity_mode_scope
+
+            with parity_mode_scope("exact"):
+                fk_e = jax.jit(lambda p, c=cfg_k: apply_tggcn(
+                    p, c, train=train_mode, rng=jax.random.PRNGKey(0),
+                    **inputs)[0])
+                out_e = [np.asarray(o) for o in fk_e(params)]
+            row["dev_vs_golden_exact"] = _merge([_dev(g, w) for g, w in
+                                                 zip(out_e, ref_outputs)])
+            ok_e = all(np.allclose(g, w, rtol=2e-3, atol=2e-4)
+                       for g, w in zip(out_e, ref_outputs))
+            row["golden_contract_exact"] = "PASS" if ok_e else "FAIL"
+            row["contract_mode"] = "exact" if ok_e else "NONE"
         rows.append(row)
         print(json.dumps(row), flush=True)
     return rows

@@ -74,6 +74,12 @@ def main(argv=None):
         auto=bool(dist_conf.get("auto", False)))
     if resources.get("debug_nans", False):
         jax.config.update("jax_debug_nans", True)
+    # Reference-parity numerics: resources.parity_mode=exact runs f32
+    # matmuls at highest precision so hard segment decisions bit-match the
+    # CPU-run reference (see tggcn/runtime.py).
+    from tggcn.runtime import apply_parity_mode
+
+    apply_parity_mode(resources.get("parity_mode", "fast"))
     profiler_dir = resources.get("jax_profiler_dir")
 
     model_name, model_input_type = cfg.metadata.model_name, cfg.metadata.input_type
