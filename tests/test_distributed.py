@@ -123,3 +123,17 @@ def test_multiprocess_kill_and_resume(multiproc_result, tmp_path):
         np.testing.assert_allclose(np.asarray(got[-1][1]),
                                    np.asarray(want[-1][1]),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_incomplete_launch_contract_raises_clearly():
+    """coordinator_address without num_processes/process_id must fail fast
+    with a clear message, not hang on the handshake auto-detect."""
+    import pytest
+
+    from tggcn.parallel.distributed import maybe_initialize
+
+    with pytest.raises(ValueError, match="launch contract"):
+        maybe_initialize(coordinator_address="127.0.0.1:9999")
+    with pytest.raises(ValueError, match="launch contract"):
+        maybe_initialize(coordinator_address="127.0.0.1:9999",
+                         num_processes=2)

@@ -175,3 +175,41 @@ def test_train_loop_surfaces_non_compile_errors(monkeypatch):
                                 **MODEL_KW)
     with pytest.raises(ValueError, match="a real bug"):
         _train_one_epoch(kernel_model)
+
+
+def test_guard_rearms_on_new_input_shape():
+    """A later call at a FRESH input shape triggers a fresh trace/compile
+    (e.g. the full-val eval batch after fixed-shape train batches); a
+    shape-dependent kernel failure there must downgrade, not crash."""
+    import jax.numpy as jnp
+
+    from tggcn.models.fallback import FirstCallGuard, uses_pallas_kernels
+
+    model = select_model("2G-GCN", use_pallas_segment_scan=True, **MODEL_KW)
+    built = []
+
+    def build(m):
+        kernels = uses_pallas_kernels(m)
+        built.append(kernels)
+
+        def fn(x):
+            # Simulate a kernel that only overflows VMEM at the big shape.
+            if kernels and x.shape[0] > 4:
+                raise jax.errors.JaxRuntimeError(
+                    "RESOURCE_EXHAUSTED: scoped vmem limit exceeded")
+            return x * 2.0
+
+        return fn
+
+    guard = FirstCallGuard(build, model, "unit")
+    np.testing.assert_allclose(np.asarray(guard(jnp.arange(4.0))),
+                               2.0 * np.arange(4))
+    # Same shape again: straight through, no rebuild.
+    guard(jnp.arange(4.0))
+    assert built == [True]
+    # New (bigger) shape: guarded, fails with kernels on, downgrades.
+    with pytest.warns(RuntimeWarning, match="Pallas kernels failed"):
+        y = guard(jnp.arange(8.0))
+    np.testing.assert_allclose(np.asarray(y), 2.0 * np.arange(8))
+    assert built == [True, False]
+    assert not uses_pallas_kernels(guard.model)

@@ -10,10 +10,12 @@ tools/minimize_mosaic_crash2.py) — should therefore degrade to the XLA path
 with a loud warning, not crash the user's training run.
 
 Entry points that jit a whole program with kernels enabled (train loop,
-eval engine) guard their FIRST call with `call_with_kernel_fallback`: on a
-backend/compile error they rebuild the model with kernels off and retry
-once. Subsequent calls reuse the compiled program, so the guard costs
-nothing after step one.
+eval engine) guard the first call AT EACH INPUT SHAPE with
+`call_with_kernel_fallback` (jit retraces per shape, so a later call at a
+new shape — e.g. the full-val eval batch — is a fresh compile with fresh
+failure modes): on a backend/compile error they rebuild the model with
+kernels off and retry once. Subsequent same-shape calls reuse the compiled
+program, so the steady-state cost is one tree_leaves sweep per call.
 """
 
 import dataclasses
@@ -101,13 +103,15 @@ def _copy_donatable(tree):
 
 
 class FirstCallGuard:
-    """Guard the first invocation of a compiled program with the kernel
-    fallback.
+    """Guard the first invocation PER INPUT SHAPE of a compiled program with
+    the kernel fallback.
 
-    ``build(model)`` must return the compiled callable. The first call runs
-    under `call_with_kernel_fallback`: a backend/compile error with kernels
-    on rebuilds via ``build(without_pallas_kernels(model))`` and retries
-    once. Every later call dispatches straight to the compiled program.
+    ``build(model)`` must return the compiled callable. The first call at
+    each distinct input-shape signature runs under
+    `call_with_kernel_fallback`: a backend/compile error with kernels on
+    rebuilds via ``build(without_pallas_kernels(model))`` and retries once.
+    Later calls at an already-succeeded shape dispatch straight to the
+    compiled program (one cheap tree_leaves sweep per call).
 
     ``force_output(result)`` should fetch one output value so errors that
     surface only at fetch time are caught inside the guard (one extra sync,
@@ -131,18 +135,33 @@ class FirstCallGuard:
         self._force = force_output
         self._donate = tuple(donate_argnums)
         self._on_downgrade = on_downgrade
-        self._first = True
+        # Input-shape signatures whose compile+run already succeeded. jit
+        # retraces (and Mosaic recompiles) per distinct input shape, so a
+        # LATER call at a fresh shape — e.g. the eval program's full-val
+        # batch after epochs of fixed-shape train batches — can still hit a
+        # shape-dependent kernel failure (VMEM overflow); every first call
+        # per shape is guarded, not just the program's first call.
+        self._seen_shapes = set()
 
     def downgrade(self, fb_model: ModelDef):
         """Swap in a kernels-off program without tripping the guard again."""
         self.fn = self._build(fb_model)
         self.model = fb_model
-        self._first = False
+
+    @staticmethod
+    def _shape_signature(args):
+        import jax
+
+        return tuple(
+            (tuple(leaf.shape), str(leaf.dtype))
+            if hasattr(leaf, "shape") and hasattr(leaf, "dtype")
+            else (None, type(leaf).__name__)
+            for leaf in jax.tree_util.tree_leaves(args))
 
     def __call__(self, *args):
-        if not self._first:
+        sig = self._shape_signature(args)
+        if sig in self._seen_shapes:
             return self.fn(*args)
-        self._first = False
         first_args = list(args)
         for i in self._donate:
             first_args[i] = _copy_donatable(args[i])
@@ -164,6 +183,7 @@ class FirstCallGuard:
 
         result, self.model = call_with_kernel_fallback(
             attempt, rebuild, self.model, self._context)
+        self._seen_shapes.add(sig)
         return result
 
 

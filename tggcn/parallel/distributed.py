@@ -59,6 +59,17 @@ def maybe_initialize(coordinator_address: Optional[str] = None,
         process_id = int(os.environ["TGGCN_PROCESS_ID"])
     if coordinator_address is None and not auto:
         return False
+    if coordinator_address is not None and not auto and \
+            (num_processes is None or process_id is None):
+        # Outside a real TPU-pod environment jax.distributed.initialize
+        # cannot auto-detect these; it would block on the handshake and fail
+        # obscurely at the timeout instead of reporting the launch gap.
+        raise ValueError(
+            "incomplete distributed launch contract: coordinator_address is "
+            f"set but num_processes={num_processes!r}, "
+            f"process_id={process_id!r}. Provide both (via "
+            "resources.distributed.* or TGGCN_NUM_PROCESSES / "
+            "TGGCN_PROCESS_ID), or use auto=True on a TPU pod.")
     # Coordinator handshake timeout: the jax default (300 s) can trip on a
     # loaded single-core host where two workers' jax imports serialize.
     init_timeout = int(os.environ.get("TGGCN_DIST_INIT_TIMEOUT", "600"))
@@ -107,18 +118,17 @@ def make_global_batch(arrays, mesh, sharding=None):
     """Assemble globally-sharded batch arrays from host-replicated numpy.
 
     Every process passes the FULL global batch (the deterministic pipeline
-    reproduces it on each host); this process contributes the rows its
-    devices own. ``jax.make_array_from_process_local_data`` expects the
-    process-LOCAL rows, so slice them out of the global batch first —
-    with the batch axis sharded over a process-contiguous device order
-    (jax.devices() is process-major), process p owns the p-th contiguous
-    row block.
+    reproduces it on each host); each device's shard is sliced out by the
+    SHARDING's own index map (``jax.make_array_from_callback``), so any
+    device order — process-major ``jax.devices()`` meshes and ICI-topology-
+    permuted ``mesh_utils.create_device_mesh`` layouts alike — feeds every
+    row exactly once, with no process-contiguity assumption.
     """
     if sharding is None:
         from tggcn.parallel.mesh import batch_sharding
 
         sharding = batch_sharding(mesh)
-    pidx, pcount = jax.process_index(), jax.process_count()
+    pcount = jax.process_count()
 
     def put(arr):
         arr = np.asarray(arr)
@@ -127,10 +137,8 @@ def make_global_batch(arrays, mesh, sharding=None):
             raise ValueError(
                 f"global batch of {rows} rows does not split over "
                 f"{pcount} processes")
-        per = rows // pcount
-        local = arr[pidx * per:(pidx + 1) * per]
-        return jax.make_array_from_process_local_data(sharding, local,
-                                                      global_shape=arr.shape)
+        return jax.make_array_from_callback(arr.shape, sharding,
+                                            lambda idx: arr[idx])
 
     return jax.tree_util.tree_map(put, arrays)
 
