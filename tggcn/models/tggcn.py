@@ -492,8 +492,13 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
             f"width {vw} (expected gcn_node={vw // 4}; use 19 for CAD-120, "
             f"30 for Bimanual, 26 for MPHOI).")
     x_geometry = x_geometry.reshape(b, t, vw // 4, 4)
-    geo_out, bn_state = apply_geo_gcn(params["geometry_embedding_gcn"], x_geometry,
-                                      train=train, use_pallas=cfg.use_pallas_geo_gcn)
+    # named_scope blocks label the HLO ops (forward AND the generated
+    # backward) so device traces (tools/profile_step.py) attribute time to
+    # model blocks; numerics are unaffected.
+    with jax.named_scope("geo_gcn"):
+        geo_out, bn_state = apply_geo_gcn(params["geometry_embedding_gcn"],
+                                          x_geometry, train=train,
+                                          use_pallas=cfg.use_pallas_geo_gcn)
     if cfg.geometry_flatten == "per_frame":
         geo_flat = geo_out.reshape(b, t, 1, geo_out.shape[-1] * (vw // 4))
     else:
@@ -505,9 +510,13 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
             b, t, 1, geo_out.shape[-1] * (vw // 4))
     if work_dtype is not None:
         geo_flat = geo_flat.astype(work_dtype)
-    x_geo_emb = apply_mlp(params["geometry_embedding_mlp"], geo_flat, activations=["relu", "relu"])
-    x_hum_emb = apply_mlp(params["human_embedding_mlp"], x_vis, activations=["relu"])
-    x_obj_emb = apply_mlp(params["object_embedding_mlp"], x_objects, activations=["relu"])
+    with jax.named_scope("embed"):
+        x_geo_emb = apply_mlp(params["geometry_embedding_mlp"], geo_flat,
+                              activations=["relu", "relu"])
+        x_hum_emb = apply_mlp(params["human_embedding_mlp"], x_vis,
+                              activations=["relu"])
+        x_obj_emb = apply_mlp(params["object_embedding_mlp"], x_objects,
+                              activations=["relu"])
 
     # --- Frame-level BiGRUs ----------------------------------------------
     # All three entity streams advance in ONE bidirectional scan
@@ -526,19 +535,23 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
     frame_rnns = [params["human_bd_rnn"], params["object_bd_rnn"],
                   params["geometry_bd_rnn"]]
     frame_xs = [x_hum_emb, x_obj_emb, x_geo_emb]
-    if cfg.use_pallas_gru:
-        from tggcn.ops.gru_pallas import run_multi_bigru_pallas
+    with jax.named_scope("frame_gru"):
+        if cfg.use_pallas_gru:
+            from tggcn.ops.gru_pallas import run_multi_bigru_pallas
 
-        h_hfr, h_ofr, _h_sfr = run_multi_bigru_pallas(
-            frame_rnns, frame_xs, h0_fwd_list=h0s,
-            fuse_directions=cfg.gru_fuse_directions)
-    else:
-        h_hfr, h_ofr, _h_sfr = run_multi_bigru(frame_rnns, frame_xs,
-                                               h0_fwd_list=h0s,
-                                               unroll=cfg.scan_unroll)
-    h_hf = apply_mlp(params["human_bd_embedding_mlp"], h_hfr, activations=["relu"])
-    h_of = apply_mlp(params["object_bd_embedding_mlp"], h_ofr, activations=["relu"])
-    h_sf = apply_mlp(params["geometry_bd_embedding_mlp"], _h_sfr, activations=["relu"])
+            h_hfr, h_ofr, _h_sfr = run_multi_bigru_pallas(
+                frame_rnns, frame_xs, h0_fwd_list=h0s,
+                fuse_directions=cfg.gru_fuse_directions)
+        else:
+            h_hfr, h_ofr, _h_sfr = run_multi_bigru(frame_rnns, frame_xs,
+                                                   h0_fwd_list=h0s,
+                                                   unroll=cfg.scan_unroll)
+        h_hf = apply_mlp(params["human_bd_embedding_mlp"], h_hfr,
+                         activations=["relu"])
+        h_of = apply_mlp(params["object_bd_embedding_mlp"], h_ofr,
+                         activations=["relu"])
+        h_sf = apply_mlp(params["geometry_bd_embedding_mlp"], _h_sfr,
+                         activations=["relu"])
 
     # --- Positional features ---------------------------------------------
     ignore_div = cfg.positional_encoding_style in {"p", "periodic"}
@@ -556,10 +569,12 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
     obj_mask_bt = objects_mask[:, None, :]  # (B, 1, O) broadcasts over T
 
     def frame_msg(name, receivers, senders, mask, exclude_self=False, dists=None):
-        recv = jnp.concatenate(receivers, axis=-1)
-        send = jnp.concatenate(senders, axis=-1)
-        return compute_message_features(params[name]["frame"], recv, send, mask,
-                                        exclude_self=exclude_self, distances=dists, **mkw)
+        with jax.named_scope(f"frame_msg_{name}"):
+            recv = jnp.concatenate(receivers, axis=-1)
+            send = jnp.concatenate(senders, axis=-1)
+            return compute_message_features(params[name]["frame"], recv, send,
+                                            mask, exclude_self=exclude_self,
+                                            distances=dists, **mkw)
 
     dist_based = human_object_distances is not None or human_human_distances is not None \
         or object_object_distances is not None
@@ -609,14 +624,16 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
     if human_segmentation is not None:
         u_h_hard = u_h_soft = human_segmentation.astype(x_hum_emb.dtype)
     else:
-        upd_in = _cat_valid([x_hum_emb, h_hf, m_hh, m_oh, m_sh, broadcast_tt(num_humans)])
-        u_soft = apply_mlp(params["update_human_segment_mlp"], upd_in,
-                           activations=["relu"] * (cfg.discrete_networks_num_layers - 1) + ["sigmoid"],
-                           precision=dec_prec)
-        u_h_hard, u_h_soft = discrete_estimator(
-            u_soft, strategy=cfg.discrete_optimization_strategy,
-            threshold=cfg.update_segment_threshold, key=rng_h,
-            frame_indices=gs_frames)
+        with jax.named_scope("decision_human"):
+            upd_in = _cat_valid([x_hum_emb, h_hf, m_hh, m_oh, m_sh,
+                                 broadcast_tt(num_humans)])
+            u_soft = apply_mlp(params["update_human_segment_mlp"], upd_in,
+                               activations=["relu"] * (cfg.discrete_networks_num_layers - 1) + ["sigmoid"],
+                               precision=dec_prec)
+            u_h_hard, u_h_soft = discrete_estimator(
+                u_soft, strategy=cfg.discrete_optimization_strategy,
+                threshold=cfg.update_segment_threshold, key=rng_h,
+                frame_indices=gs_frames)
         u_h_hard, u_h_soft = u_h_hard[..., 0], u_h_soft[..., 0]  # (B, T, H)
         if force_last_step_commit:
             # Forced commit at the final padded step (reference models.py:701-702).
@@ -633,14 +650,16 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
             u_o_hard = jnp.broadcast_to(u_hst, (b, t, num_objects))
             u_o_soft = jnp.broadcast_to(u_hsts, (b, t, num_objects))
         else:
-            upd_in = _cat_valid([x_obj_emb, h_of, m_ho, m_oo, m_so, broadcast_tt(num_objects)])
-            u_soft = apply_mlp(params["update_object_segment_mlp"], upd_in,
-                               activations=["relu"] * (cfg.discrete_networks_num_layers - 1) + ["sigmoid"],
-                               precision=dec_prec)
-            u_o_hard, u_o_soft = discrete_estimator(
-                u_soft, strategy=cfg.discrete_optimization_strategy,
-                threshold=cfg.update_segment_threshold, key=rng_o,
-                frame_indices=gs_frames)
+            with jax.named_scope("decision_object"):
+                upd_in = _cat_valid([x_obj_emb, h_of, m_ho, m_oo, m_so,
+                                     broadcast_tt(num_objects)])
+                u_soft = apply_mlp(params["update_object_segment_mlp"], upd_in,
+                                   activations=["relu"] * (cfg.discrete_networks_num_layers - 1) + ["sigmoid"],
+                                   precision=dec_prec)
+                u_o_hard, u_o_soft = discrete_estimator(
+                    u_soft, strategy=cfg.discrete_optimization_strategy,
+                    threshold=cfg.update_segment_threshold, key=rng_o,
+                    frame_indices=gs_frames)
             u_o_hard, u_o_soft = u_o_hard[..., 0], u_o_soft[..., 0]
             if cfg.object_segment_update_strategy in {"conditional_on_human", "coh"} and u_hst is not None:
                 u_o_hard = u_o_hard * u_hst
@@ -688,19 +707,23 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
         use_pallas_seg = seg_mode is not None and (
             getattr(cfg, "segment_kernel_modes", "auto") == "all"
             or seg_mode == "dot")
-    if use_pallas_seg:
-        seg = run_segment_scan_pallas(params, cfg, x_hs, x_os, u_h_used,
-                                      u_o_used, objects_mask,
-                                      seg_carry=seg_carry, dists3=dists3)
-    elif _fast_segment_scan_applicable(cfg, use_dists):
-        seg = _segment_scan_fast(params, cfg, x_hs, x_os, u_h_used, u_o_used,
-                                 objects_mask, human_human_distances,
-                                 human_object_distances, object_object_distances,
-                                 seg_carry=seg_carry)
-    else:
-        seg = _segment_scan(params, cfg, x_hs, x_os, u_h_used, u_o_used, objects_mask,
-                            human_human_distances, human_object_distances,
-                            object_object_distances, seg_carry=seg_carry)
+    with jax.named_scope("segment_scan"):
+        if use_pallas_seg:
+            seg = run_segment_scan_pallas(params, cfg, x_hs, x_os, u_h_used,
+                                          u_o_used, objects_mask,
+                                          seg_carry=seg_carry, dists3=dists3)
+        elif _fast_segment_scan_applicable(cfg, use_dists):
+            seg = _segment_scan_fast(params, cfg, x_hs, x_os, u_h_used,
+                                     u_o_used, objects_mask,
+                                     human_human_distances,
+                                     human_object_distances,
+                                     object_object_distances,
+                                     seg_carry=seg_carry)
+        else:
+            seg = _segment_scan(params, cfg, x_hs, x_os, u_h_used, u_o_used,
+                                objects_mask, human_human_distances,
+                                human_object_distances,
+                                object_object_distances, seg_carry=seg_carry)
     hx_hs, hx_os, att_seg_f, att_seg_b = seg
     # Forward-direction segment state sequences (pre-reorder) for streaming carries.
     hx_hs_fwd_seq = hx_hs[..., :hidden]
@@ -716,8 +739,9 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
         out = reorder_hidden_states(hx_f, u_f)
         return out.reshape(b, n_e, t, -1).transpose(0, 2, 1, 3)
 
-    hx_all = reorder_entities(jnp.concatenate([hx_hs, hx_os], axis=2),
-                              jnp.concatenate([u_h_used, u_o_used], axis=2))
+    with jax.named_scope("reorder"):
+        hx_all = reorder_entities(jnp.concatenate([hx_hs, hx_os], axis=2),
+                                  jnp.concatenate([u_h_used, u_o_used], axis=2))
     hx_hs = hx_all[:, :, :num_humans]
     hx_os = hx_all[:, :, num_humans:]
     if cfg.cat_level_states:
@@ -732,10 +756,12 @@ def apply_tggcn(params: dict, cfg: TGGCNConfig,
             name = name.replace("_frame_recognition_mlp", "_recognition_mlp")
         elif shared and name.endswith("_frame_prediction_mlp"):
             name = name.replace("_frame_prediction_mlp", "_prediction_mlp")
-        if work_dtype is not None:
-            x = x.astype(jnp.float32)  # heads + log-softmax stay full precision
-        out = apply_mlp(params[name], x, activations=[{"name": "logsoftmax", "dim": -1}])
-        return jnp.transpose(out, (0, 3, 1, 2))  # (B, C, T, E)
+        with jax.named_scope(f"head_{name}"):
+            if work_dtype is not None:
+                x = x.astype(jnp.float32)  # heads + log-softmax stay full precision
+            out = apply_mlp(params[name], x,
+                            activations=[{"name": "logsoftmax", "dim": -1}])
+            return jnp.transpose(out, (0, 3, 1, 2))  # (B, C, T, E)
 
     y_hs, y_os = u_h_used, u_o_used
     y_hss, y_oss = u_h_soft, u_o_soft

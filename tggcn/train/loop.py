@@ -118,20 +118,24 @@ def _build_step_fn(model, feeder: Callable, criterion: Callable, optimizer,
         def loss_fn(trainable_):
             outputs, aux = model.apply(trainable_["model"], train=True, rng=rng,
                                        **feeder(data))
-            raw_losses = criterion(outputs, targets, reduction="mean")
-            if mtll_static is not None:
-                losses = apply_mtll(trainable_["mtll"], mtll_static[0], mtll_static[1],
-                                    raw_losses)
-            else:
-                losses = raw_losses
-            total = sum(losses)
+            with jax.named_scope("losses"):
+                raw_losses = criterion(outputs, targets, reduction="mean")
+                if mtll_static is not None:
+                    losses = apply_mtll(trainable_["mtll"], mtll_static[0],
+                                        mtll_static[1], raw_losses)
+                else:
+                    losses = raw_losses
+                total = sum(losses)
             return total, (jnp.stack(losses), jnp.stack(raw_losses), aux)
 
         grads, (losses, raw_losses, aux) = jax.grad(loss_fn, has_aux=True)(trainable)
         if clip_gradient_at:
             grads = dict(grads, model=_clip_model_grads(grads["model"], clip_gradient_at))
-        updates, opt_state = optimizer.update(grads, opt_state, trainable)
-        trainable = optax.apply_updates(trainable, updates)
+        # Scope the optimizer so device traces separate Adam (HBM-roofline,
+        # BASELINE.md) from the backward tail.
+        with jax.named_scope("adam"):
+            updates, opt_state = optimizer.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
         if aux.get("bn_state") is not None:
             trainable = dict(trainable,
                              model=_set_bn_state(trainable["model"], aux["bn_state"]))

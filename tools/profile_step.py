@@ -126,13 +126,50 @@ def summarize_xspace(logdir: str):
         return {"inventory": inventory}, "device plane has no events"
 
     meta = plane.event_metadata
+    stat_meta = plane.stat_metadata
+
+    def event_strings(ev, md):
+        """Every string attached to the event: op name, display name, and
+        string-valued stats (the 'tf_op' stat carries the jax named_scope
+        path, e.g. 'jit(step)/.../frame_msg_o2h/dot_general')."""
+        out = [md.name, md.display_name]
+        for stat in list(ev.stats) + list(md.stats):
+            if stat.str_value:
+                out.append(stat.str_value)
+            elif stat.ref_value and stat.ref_value in stat_meta:
+                out.append(stat_meta[stat.ref_value].name)
+        return [s for s in out if s]
+
+    # Model-block attribution via the jax.named_scope labels embedded in op
+    # paths (models/tggcn.py, train/loop.py). Order matters: first match wins.
+    scope_buckets = [("frame_msg_", "frame_messages"), ("head_", "heads"),
+                     ("geo_gcn", "geo_gcn"), ("embed", "embed"),
+                     ("frame_gru", "frame_gru"),
+                     ("decision_human", "decisions"),
+                     ("decision_object", "decisions"),
+                     ("segment_scan", "segment_scan"), ("reorder", "reorder"),
+                     ("losses", "losses"), ("adam", "adam")]
+
     agg = {}
+    by_scope = {}
     t0, t1 = None, None
     for ev in line.events:
-        name = meta[ev.metadata_id].name if ev.metadata_id in meta else "?"
+        md = meta[ev.metadata_id] if ev.metadata_id in meta else None
+        name = md.name if md is not None else "?"
         d = agg.setdefault(name, {"total_ps": 0, "count": 0})
         d["total_ps"] += ev.duration_ps
         d["count"] += 1
+        strings = event_strings(ev, md) if md is not None else []
+        blob = " | ".join(strings)
+        bucket = next((label for token, label in scope_buckets
+                       if token in blob), "unattributed")
+        # Backward ops carry a transpose(...) wrapper in the path (plain
+        # jvp(...) appears in FORWARD paths under jax.grad too).
+        if bucket != "unattributed" and "transpose(" in blob:
+            bucket += "_bwd"
+        s = by_scope.setdefault(bucket, {"total_ps": 0, "count": 0})
+        s["total_ps"] += ev.duration_ps
+        s["count"] += 1
         start = line.timestamp_ns * 1000 + ev.offset_ps
         end = start + ev.duration_ps
         t0 = start if t0 is None else min(t0, start)
@@ -143,10 +180,15 @@ def summarize_xspace(logdir: str):
                    "pct": 100.0 * v["total_ps"] / max(total_ps, 1)}
                   for k, v in agg.items()),
                  key=lambda r: -r["total_us"])
+    scopes = sorted(({"scope": k, "total_us": v["total_ps"] / 1e6,
+                      "count": v["count"],
+                      "pct": 100.0 * v["total_ps"] / max(total_ps, 1)}
+                     for k, v in by_scope.items()),
+                    key=lambda r: -r["total_us"])
     return {"plane": plane.name, "line": line.name,
             "busy_us": total_ps / 1e6,
             "span_us": (t1 - t0) / 1e6 if t0 is not None else None,
-            "ops": ops, "inventory": inventory}, None
+            "ops": ops, "by_scope": scopes, "inventory": inventory}, None
 
 
 def main():
@@ -184,6 +226,10 @@ def main():
             per_step = table["busy_us"] / args.steps / 1e3
             print(f"# device busy: {table['busy_us']/1e3:.2f} ms over "
                   f"{args.steps} steps = {per_step:.2f} ms/step")
+            for r in table.get("by_scope", []):
+                print(f"  scope {r['pct']:5.1f}%  "
+                      f"{r['total_us']/args.steps:9.1f} us/step  "
+                      f"x{r['count']:<5d} {r['scope']}")
             for r in result["top_ops"]:
                 print(f"  {r['pct']:5.1f}%  {r['total_us']/args.steps:9.1f} "
                       f"us/step  x{r['count']:<5d} {r['op'][:110]}")
