@@ -35,15 +35,19 @@ METRIC = "mphoi_2ggcn_train_clips_per_sec"
 UNIT = "clips/sec/chip"
 
 # Backend-liveness probe: jax import is 30-60 s and a tiny remote compile
-# 20-40 s on a healthy tunnel, so 300 s per attempt is comfortable; when the
-# tunnel is down the attempt hangs and the timeout is what ends it.
+# 20-40 s on a healthy tunnel, so 240 s per attempt is ~2x headroom; when
+# the tunnel is down the attempt hangs and the timeout is what ends it. The
+# whole outage path (attempts + backoff) stays under ~9 min so the
+# structured error line lands well before any external driver timeout.
 # Env-overridable so tests can exercise the outage path in seconds.
-PROBE_TIMEOUT_S = int(os.environ.get("TGGCN_BENCH_PROBE_TIMEOUT_S", 300))
-PROBE_ATTEMPTS = int(os.environ.get("TGGCN_BENCH_PROBE_ATTEMPTS", 3))
+PROBE_TIMEOUT_S = int(os.environ.get("TGGCN_BENCH_PROBE_TIMEOUT_S", 240))
+PROBE_ATTEMPTS = int(os.environ.get("TGGCN_BENCH_PROBE_ATTEMPTS", 2))
 PROBE_BACKOFF_S = (30, 90)
 # Full measurement child: first remote compile of the train step is 3-10 min
 # (high variance) + the cross-check model's compile; cached runs are ~2 min.
-CHILD_TIMEOUT_S = int(os.environ.get("TGGCN_BENCH_CHILD_TIMEOUT_S", 2700))
+# 30 min covers two cold compiles; past that, a structured timeout record
+# beats an externally-killed unparseable run.
+CHILD_TIMEOUT_S = int(os.environ.get("TGGCN_BENCH_CHILD_TIMEOUT_S", 1800))
 
 _PROBE_CODE = """
 import os

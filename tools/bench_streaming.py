@@ -31,6 +31,14 @@ def main():
     parser.add_argument("--compute_dtype", default="float32")
     parser.add_argument("--use_pallas_gru", action="store_true")
     parser.add_argument("--use_pallas_segment_scan", action="store_true")
+    parser.add_argument("--attention_style", default="v3",
+                        choices=["v1", "v2", "v3", "v4"])
+    parser.add_argument("--segment_kernel_modes", default="auto",
+                        choices=["auto", "all"],
+                        help="Which attention modes route through the "
+                             "segment kernel ('auto' = training-justified "
+                             "dot only; 'all' for the serving A/B once the "
+                             "forward-only mode matrix lands).")
     parser.add_argument("--fuse_directions", action="store_true",
                         help="Force direction-FUSED kernel launches (the "
                              "runner defaults to per-direction at B=1 — "
@@ -48,10 +56,12 @@ def main():
         message_objects_to_human=True, message_objects_to_object=True,
         message_geometry_to_objects=True, message_segment=True,
         message_type="v2", message_granularity="v1", message_aggregation="att",
-        attention_style="v3", discrete_optimization_strategy="st",
+        attention_style=args.attention_style,
+        discrete_optimization_strategy="st",
         object_segment_update_strategy="ind", geometry_flatten="per_frame",
         compute_dtype=args.compute_dtype, use_pallas_gru=args.use_pallas_gru,
-        use_pallas_segment_scan=args.use_pallas_segment_scan)
+        use_pallas_segment_scan=args.use_pallas_segment_scan,
+        segment_kernel_modes=args.segment_kernel_modes)
     params = init_tggcn(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     t, num_humans, num_objects = args.frames, 2, 4
