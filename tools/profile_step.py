@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_step():
+def build_step(b=8, t=167, hidden=512, use_pallas=True):
     """The bench.py workload as a single (unfused) jitted train step."""
     import jax
     import optax
@@ -40,7 +40,7 @@ def build_step():
     from tggcn.train.loop import make_train_step
     from tggcn.train.losses import select_loss
 
-    b, t, num_humans, num_objects, hidden = 8, 167, 2, 4, 512
+    num_humans, num_objects = 2, 4
     model = select_model(
         "2G-GCN", input_size=(2152, 2048), num_classes=(13, None),
         hidden_size=hidden, gcn_node=26,
@@ -50,8 +50,8 @@ def build_step():
         message_type="v2", message_granularity="v1", message_aggregation="att",
         attention_style="v3", discrete_optimization_strategy="gs",
         object_segment_update_strategy="ind",
-        compute_dtype="bfloat16", use_pallas_gru=True,
-        use_pallas_segment_scan=True)
+        compute_dtype="bfloat16", use_pallas_gru=use_pallas,
+        use_pallas_segment_scan=use_pallas)
     params = model.init(jax.random.PRNGKey(0))
     optimizer = optax.adam(1e-4)
     cfg = Config({"misc": Config({})})
@@ -80,7 +80,7 @@ def build_step():
     return step, trainable, opt_state, data, targets
 
 
-def summarize_xspace(logdir: str):
+def summarize_xspace(logdir: str, allow_host_xla: bool = False):
     """HLO-op time table from the captured xplane (None if no device data).
 
     Parses the raw xplane proto directly (tensorflow.tsl.profiler.protobuf)
@@ -118,6 +118,14 @@ def summarize_xspace(logdir: str):
         for line in p.lines:
             score = (1 if "xla ops" in line.name.lower() else 0, len(line.events))
             candidates.append((score, p, line))
+    if not candidates and allow_host_xla:
+        # CPU-smoke fallback: the host plane's xla-cpu-codegen line carries
+        # per-HLO-op events (wall time, not device time) — good enough to
+        # validate the scope attribution against a real trace.
+        for p in xs.planes:
+            for line in p.lines:
+                if "xla" in line.name.lower() and "codegen" in line.name.lower():
+                    candidates.append(((0, len(line.events)), p, line))
     if not candidates:
         return {"inventory": inventory}, "no device plane in trace"
     candidates.sort(key=lambda c: c[0], reverse=True)
@@ -197,12 +205,28 @@ def main():
     ap.add_argument("--logdir", default="/tmp/jaxprof")
     ap.add_argument("--out", default="/tmp/profile_step.json")
     ap.add_argument("--top", type=int, default=25)
+    # Tiny-shape overrides for smoke-testing the capture->parse pipeline on
+    # hosts where the headline shape is infeasible (1-core CPU).
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--t", type=int, default=167)
+    ap.add_argument("--hidden", type=int, default=512)
+    ap.add_argument("--platform", default=None, choices=["cpu"],
+                    help="Force the CPU backend (the ambient env registers a "
+                         "remote-TPU backend programmatically, so the env "
+                         "var alone is not enough).")
     args = ap.parse_args()
 
+    if args.platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     print(f"# devices: {jax.devices()}", flush=True)
-    step, trainable, opt_state, data, targets = build_step()
+    step, trainable, opt_state, data, targets = build_step(
+        b=args.batch, t=args.t, hidden=args.hidden,
+        use_pallas=args.platform != "cpu")
     key = jax.random.PRNGKey(0)
     # Warmup (compile) outside the trace.
     trainable, opt_state, losses, _ = step(trainable, opt_state, key, data,
@@ -217,7 +241,8 @@ def main():
     jax.profiler.stop_trace()
     print("# trace stopped, converting", flush=True)
 
-    table, err = summarize_xspace(args.logdir)
+    table, err = summarize_xspace(args.logdir,
+                                  allow_host_xla=args.platform == "cpu")
     result = {"steps": args.steps, "error": err}
     if table is not None:
         result.update({k: v for k, v in table.items() if k != "ops"})
