@@ -49,12 +49,13 @@ def build(args):
     from tggcn.train.losses import select_loss
 
     b, t, num_humans, num_objects = args.batch, args.t, 2, 4
+    frame_msgs = args.ablate != "no_frame_messages"
     model = select_model(
         "2G-GCN", input_size=(2152, 2048), num_classes=(13, None),
-        hidden_size=512, gcn_node=26,
-        message_humans_to_human=True, message_human_to_objects=True,
-        message_objects_to_human=True, message_objects_to_object=True,
-        message_geometry_to_objects=True,
+        hidden_size=args.hidden, gcn_node=26,
+        message_humans_to_human=frame_msgs, message_human_to_objects=frame_msgs,
+        message_objects_to_human=frame_msgs, message_objects_to_object=frame_msgs,
+        message_geometry_to_objects=frame_msgs,
         message_segment=args.ablate != "no_segment_messages",
         message_type="v2", message_granularity="v1", message_aggregation="att",
         attention_style="v3", discrete_optimization_strategy="gs",
@@ -94,6 +95,7 @@ def main():
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--t", type=int, default=167)
     parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--hidden", type=int, default=512)
     parser.add_argument("--compute_dtype", default="float32")
     parser.add_argument("--use_pallas_gru", action="store_true")
     parser.add_argument("--scan_unroll", type=int, default=4)
@@ -106,17 +108,34 @@ def main():
     parser.add_argument("--no_remat", action="store_true",
                         help="Store segment-scan residuals instead of remat.")
     parser.add_argument("--ablate", default="none",
-                        choices=["none", "no_segment_messages", "forward_only",
+                        choices=["none", "no_segment_messages",
+                                 "no_frame_messages", "forward_only",
                                  "grad_only"],
-                        help="Timing ablations: drop segment messages, time "
-                             "forward+loss only (no grad/Adam), or "
-                             "forward+backward without the optimizer update "
-                             "(isolates Adam's share of the step).")
+                        help="Timing ablations: drop segment messages, drop "
+                             "all five frame-level messages (the step-time "
+                             "delta vs 'none' bounds the frame-message "
+                             "block's fwd+bwd cost — slightly over, since "
+                             "the decision/segment-input MLPs also narrow; "
+                             "trace-independent attribution complementing "
+                             "tools/profile_step.py), time forward+loss "
+                             "only (no grad/Adam), or forward+backward "
+                             "without the optimizer update (isolates "
+                             "Adam's share of the step).")
     parser.add_argument("--json", action="store_true")
+    parser.add_argument("--platform", default=None, choices=["cpu"],
+                        help="Force the CPU backend for tiny-shape smokes "
+                             "(the ambient env registers a remote-TPU "
+                             "backend programmatically; numbers on CPU are "
+                             "NOT performance data).")
     args = parser.parse_args()
 
+    if args.platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     import jax.numpy as jnp
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from tggcn.train.loop import make_fused_train_steps, make_train_step
 

@@ -41,7 +41,7 @@ run_item() {
   printf '  "%s": {"rc": %d, "seconds": %d}' "$name" "$rc" "$((t1 - t0))" >> "$SUMMARY.tmp"
 }
 
-ITEMS="${*:-bench profile segmodes_fwd segmodes_fwd_b1 drill_tpu parity_a streaming_auto streaming_all}"
+ITEMS="${*:-bench profile ablate_base ablate_frame_msgs segmodes_fwd segmodes_fwd_b1 drill_tpu parity_a streaming_auto streaming_all}"
 
 if ! probe; then
   echo "tunnel DOWN at $(date -u +%H:%M:%S) — aborting queue" | tee -a "$ART/queue.log"
@@ -57,6 +57,14 @@ for item in $ITEMS; do
     profile)         # backward-tail scope-attributed trace (VERDICT item 3)
       run_item profile 2400 python tools/profile_step.py \
         --out "$ART/profile_step.json" ;;
+    ablate_base)     # paired with ablate_frame_msgs: frame-message cost
+      run_item ablate_base 2400 python tools/bench_breakdown.py \
+        --compute_dtype bfloat16 --use_pallas_gru --use_pallas_segment_scan \
+        --json ;;
+    ablate_frame_msgs)
+      run_item ablate_frame_msgs 2400 python tools/bench_breakdown.py \
+        --compute_dtype bfloat16 --use_pallas_gru --use_pallas_segment_scan \
+        --ablate no_frame_messages --json ;;
     segmodes_fwd)    # forward-only kernel-mode matrix, training shape
       run_item segmodes_fwd 2400 python tools/bench_segment_modes.py \
         --forward_only ;;
