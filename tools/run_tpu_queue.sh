@@ -73,7 +73,12 @@ for item in $ITEMS; do
         --forward_only --batch 1 --t 128 ;;
     drill_tpu)       # real train.py -> predict.py composition on-chip
       run_item drill_tpu 3600 python tools/cli_tpu_drill.py --leg tpu \
-        --out "$ART/drill_tpu.json" ;;
+        --out "$ART/drill_tpu.json"
+      # Compare against the committed CPU leg (legs land hours apart when
+      # the tunnel flaps; --combine exists exactly for that).
+      run_item drill_combine 600 python tools/cli_tpu_drill.py \
+        --combine "$ART/drill_tpu.log" tools/artifacts/drill_cpu_leg.log \
+        --out "$ART/drill_combined.json" ;;
     parity_a)        # 12/12 golden contract with parity_mode recorded
       run_item parity_a 3600 python tools/verify_tpu_parity.py --part a \
         --out "$ART/verify_tpu_parity_a.json" ;;
