@@ -126,9 +126,6 @@ def supervise():
            "detail": f"child rc={proc.returncode}, no JSON line; stderr tail: "
                      + " | ".join(proc.stderr.strip().splitlines()[-3:])})
 
-import numpy as np
-import jax.numpy as jnp
-
 # Reference PyTorch-CPU throughput on this host (tools/bench_reference.py).
 # Measured: 0.2832 clips/s at T=40; at the headline T=167 a single reference
 # train step did NOT complete within 595 s (=> < 0.0135 clips/s). The value
@@ -139,10 +136,16 @@ REFERENCE_CPU_CLIPS_PER_SEC = 0.0678
 
 
 def main():
+    # Heavy imports live here, NOT at module scope: the supervisor path
+    # (supervise/probe) must stay import-light — a module-level jax import
+    # would cost the 30-60 s jax startup before the probe even runs, and
+    # would touch the ambient backend in the supervisor process.
     import jax
 
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import jax.numpy as jnp
     import optax
 
     from tggcn.config import Config
@@ -326,5 +329,9 @@ def main():
 if __name__ == "__main__":
     if "--child" in sys.argv:
         main()
+    elif "--probe" in sys.argv:
+        # Backend-liveness check only (shared by tools/run_tpu_queue.sh so
+        # there is ONE probe contract): rc 0 = tunnel up, 1 = down.
+        sys.exit(0 if _probe_backend() else 1)
     else:
         supervise()

@@ -31,7 +31,17 @@ def test_reference_tar_checkpoint_loads(tmp_path):
                   for k in data.files if k.startswith("weight::")}
     run_dir = tmp_path / "run_Subject45"
     run_dir.mkdir()
-    torch.save({"model_state_dict": state_dict}, run_dir / "run_Subject45.tar")
+    ckpt = {"model_state_dict": state_dict}
+    try:
+        # Real reference tars also pickle sklearn scalers (reference
+        # train.py:61); torch>=2.6 weights_only loading rejects them, so the
+        # loader must opt out — keep the fixture format-faithful.
+        from sklearn.preprocessing import StandardScaler
+
+        ckpt["scalers"] = [StandardScaler()]
+    except ImportError:
+        pass
+    torch.save(ckpt, run_dir / "run_Subject45.tar")
 
     cfg = TGGCNConfig(input_size=(2152, 2048), num_classes=(13, None), hidden_size=24,
                       gcn_node=26, message_humans_to_human=True, message_segment=True,

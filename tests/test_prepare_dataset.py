@@ -100,6 +100,45 @@ def test_main_check_exit_codes(tmp_path):
     assert rc == 0
 
 
+def test_mixed_download_tree_hint_breaks_basename_tie(tmp_path):
+    """MPHOI and Bimanual both ship a 'faster_rcnn.zarr'; a source holding
+    BOTH downloads must wire the dataset-identifiable one, not whichever
+    os.walk found first."""
+    source = tmp_path / "dl"
+    for folder in ("MPHOI_72", "bimacs"):
+        store = source / folder / "faster_rcnn.zarr"
+        os.makedirs(store)
+        (store / ".zgroup").write_text('{"zarr_format": 2}')
+    picked = prepare_dataset._best_match(
+        [str(source / "MPHOI_72" / "faster_rcnn.zarr"),
+         str(source / "bimacs" / "faster_rcnn.zarr")],
+        "MPHOI/mphoi_derived_features/faster_rcnn.zarr", "mphoi")
+    assert picked is not None and "MPHOI_72" in picked
+    picked = prepare_dataset._best_match(
+        [str(source / "MPHOI_72" / "faster_rcnn.zarr"),
+         str(source / "bimacs" / "faster_rcnn.zarr")],
+        "BimanualActions/bimacs_derived_features/faster_rcnn.zarr",
+        "bimanual")
+    assert picked is not None and "bimacs" in picked
+
+
+def test_ambiguous_candidates_are_refused_not_guessed(tmp_path, capsys):
+    """Two hint-less candidates with the same basename -> AMBIG + unresolved
+    (wiring a guess would fail later as an inscrutable shape mismatch)."""
+    source = tmp_path / "dl"
+    for folder in ("a", "b"):
+        store = source / folder / "faster_rcnn.zarr"
+        os.makedirs(store)
+        (store / ".zgroup").write_text('{"zarr_format": 2}')
+    unresolved = prepare_dataset.prepare("mphoi", str(source),
+                                         str(tmp_path / "data"))
+    out = capsys.readouterr().out
+    assert "AMBIG" in out
+    assert any(e.config_key == "path_zarr" for e in unresolved)
+    assert not os.path.lexists(tmp_path / "data" / "MPHOI" /
+                               "mphoi_derived_features" / "faster_rcnn.zarr")
+
+
 def test_prepare_cad120_pickle_and_dictionaries(tmp_path):
     from tggcn.data.synthetic import generate_cad120_dataset
 

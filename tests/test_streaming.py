@@ -210,6 +210,35 @@ def test_frame_indexed_gumbel_is_window_invariant():
                                       np.asarray(full[:, w0:w1]))
 
 
+def test_gs_process_window_auto_offset_matches_offline(gs_model):
+    """The step-wise API threads the absolute frame offset through the carry
+    by itself, so frame-indexed gs noise matches offline WITHOUT the caller
+    passing frame_offset (a silent-divergence hazard otherwise: every window
+    would resample frames [0, chunk) noise)."""
+    cfg, params = gs_model
+    t, w = 12, 5
+    x_human, x_objects, mask, _seg = _inputs(t=t)
+    offline, _ = apply_tggcn(params, cfg, x_human, x_objects, mask,
+                             steps_per_example=np.full((1,), float(t), np.float32),
+                             train=False, rng=jax.random.PRNGKey(42))
+    runner = StreamingRunner(params, cfg, window=w, lookahead=t,
+                             rng=jax.random.PRNGKey(42), fuse_group=1)
+    carry, got = None, None
+    for start in range(0, t, w):
+        outputs, carry = runner.process_window(
+            x_human[:, start:], x_objects[:, start:], mask, carry=carry,
+            is_last=True)
+        emit = min(w, t - start)
+        keep = [np.asarray(o)[:, :, :emit] if np.asarray(o).ndim == 4
+                else np.asarray(o)[:, :emit] for o in outputs]
+        got = keep if got is None else [
+            np.concatenate([g, k], axis=2 if k.ndim == 4 else 1)
+            for g, k in zip(got, keep)]
+    for i, (o, g) in enumerate(zip(offline, got)):
+        np.testing.assert_allclose(np.asarray(o), g, rtol=2e-4, atol=2e-5,
+                                   err_msg=f"output {i}")
+
+
 def test_gs_streaming_matches_offline_with_full_lookahead(gs_model):
     """gs decisions sampled inside windows reproduce the offline run when
     the noise is frame-indexed (VERDICT r4 item 8)."""

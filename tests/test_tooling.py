@@ -54,6 +54,15 @@ class TestAnalysisCli:
         ckpt = {"epoch": 2, "model_state_dict": {},
                 "train_losses": [[2.0, [2.0]], [1.5, [1.5]]],
                 "val_losses": [[2.2, [2.2]], [1.8, [1.8]]]}
+        try:
+            # Real reference tars carry sklearn scaler objects (reference
+            # train.py:61) which torch>=2.6 weights_only loading rejects —
+            # include one so the loader is exercised against the real format.
+            from sklearn.preprocessing import StandardScaler
+
+            ckpt["scalers"] = [StandardScaler()]
+        except ImportError:
+            pass
         torch.save(ckpt, str(run_dir / "ref_Subject3.tar"))
         args = argparse.Namespace(model_dir=str(run_dir), save_file=None)
         analysis.plot_curves(args)

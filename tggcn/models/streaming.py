@@ -147,7 +147,7 @@ class StreamingRunner:
 
     def process_window(self, x_human, x_objects, objects_mask, carry=None,
                        human_segmentation=None, is_last: bool = False,
-                       frame_offset: int = 0):
+                       frame_offset: Optional[int] = None):
         """Process ONE chunk step-wise (online serving: frames arrive
         incrementally and the caller owns the loop).
 
@@ -157,18 +157,30 @@ class StreamingRunner:
         Returns (outputs, carry): outputs over the FULL chunk — the caller
         keeps the first min(window, chunk) frames — and the device-resident
         carry to pass to the next call.
+
+        The stream's absolute frame position is threaded through the
+        returned carry automatically, so frame-indexed state (the
+        gs_noise='frame_indexed' Gumbel draw) matches the offline pass
+        without the caller counting frames; pass an explicit frame_offset
+        only to override (e.g. when seeking within a stream).
         """
         b, chunk = x_human.shape[:2]
+        carry = dict(carry) if carry else {}
+        tracked_offset = carry.pop("frame_offset", 0)
+        if frame_offset is None:
+            frame_offset = int(tracked_offset)
         xh = jax.device_put(x_human)
         xo = jax.device_put(x_objects)
         seg = (jax.device_put(human_segmentation)
                if human_segmentation is not None else None)
         steps = np.full((b,), float(chunk), dtype=np.float32)
         outputs, carry_seq = self._jitted(self.params, xh, xo, objects_mask,
-                                          steps, carry or {}, seg,
+                                          steps, carry, seg,
                                           jnp.int32(frame_offset), is_last)
         boundary = min(self.window, chunk) - 1
         carry = {k: v[:, boundary] for k, v in carry_seq.items()}
+        # Next call resumes right after the emitted frames.
+        carry["frame_offset"] = frame_offset + boundary + 1
         return outputs, carry
 
     @staticmethod

@@ -140,7 +140,10 @@ def load_run_checkpoint(model_dir: str) -> dict:
     if os.path.exists(tar_path):
         import torch
 
-        return torch.load(tar_path, map_location="cpu")
+        # Reference .tar checkpoints carry sklearn scaler objects
+        # (reference train.py:61), which torch>=2.6's weights_only default
+        # refuses to unpickle; run-dir tars are the user's own local files.
+        return torch.load(tar_path, map_location="cpu", weights_only=False)
     raise FileNotFoundError(f"No checkpoint found in {model_dir} "
                             f"(looked for {basename}.ckpt and {basename}.tar)")
 
@@ -160,7 +163,10 @@ def load_model_weights(model_dir: str, cfg=None):
     if os.path.exists(tar_path):
         import torch
 
-        checkpoint = torch.load(tar_path, map_location="cpu")
+        # weights_only=False: reference tars also hold sklearn scalers (see
+        # load_run_checkpoint); these are the user's own local run files.
+        checkpoint = torch.load(tar_path, map_location="cpu",
+                                weights_only=False)
         sd = {k: v.numpy() for k, v in checkpoint["model_state_dict"].items()}
         from tggcn.compat import (
             baseline_params_from_torch_state_dict,

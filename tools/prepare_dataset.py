@@ -180,9 +180,25 @@ def _index_source(source: str):
     return found
 
 
-def _best_match(candidates: List[str], relpath: str) -> str:
-    """Prefer the candidate sharing the longest path-component tail."""
+# Tokens that identify a dataset's download tree (used to break basename
+# ties: MPHOI and Bimanual both ship a 'faster_rcnn.zarr').
+_DATASET_HINTS = {
+    "mphoi": ("mphoi",),
+    "cad120": ("cad",),
+    "bimanual": ("bimanual", "bimacs"),
+}
+
+
+def _best_match(candidates: List[str], relpath: str,
+                dataset: str) -> Optional[str]:
+    """The candidate sharing the longest path-component tail, with the
+    dataset's name tokens as tie-breaker. Returns None when the choice is
+    AMBIGUOUS (several candidates tie without any dataset hint): silently
+    wiring another dataset's identically-named store (a mixed download
+    folder holding both MPHOI and Bimanual trees) would surface only as a
+    confusing shape mismatch at load time."""
     want = relpath.split("/")
+    hints = _DATASET_HINTS.get(dataset, ())
 
     def score(path):
         have = os.path.normpath(path).split(os.sep)
@@ -190,9 +206,14 @@ def _best_match(candidates: List[str], relpath: str) -> str:
         while (n < min(len(want), len(have))
                and want[-1 - n] == have[-1 - n]):
             n += 1
-        return n
+        lower = path.lower()
+        return (n, sum(1 for h in hints if h in lower))
 
-    return max(candidates, key=score)
+    best = max(score(c) for c in candidates)
+    ties = [c for c in candidates if score(c) == best]
+    if len(ties) > 1:
+        return None
+    return ties[0]
 
 
 def prepare(dataset: str, source: str, data_root: str, copy: bool = False,
@@ -218,7 +239,17 @@ def prepare(dataset: str, source: str, data_root: str, copy: bool = False,
             if entry.required:
                 unresolved.append(entry)
             continue
-        src = _best_match(candidates, entry.relpath)
+        src = _best_match(candidates, entry.relpath, dataset)
+        if src is None:
+            print(f"[ AMBIG ] {entry.relpath} — multiple '{basename}' "
+                  f"candidates and none is identifiable as {dataset}: "
+                  + ", ".join(sorted(candidates))
+                  + " — move the right one under a folder containing "
+                  + "/".join(_DATASET_HINTS.get(dataset, (dataset,)))
+                  + ", or pass a narrower --source")
+            if entry.required:
+                unresolved.append(entry)
+            continue
         os.makedirs(os.path.dirname(target), exist_ok=True)
         if os.path.lexists(target):
             if os.path.isdir(target) and not os.path.islink(target):
