@@ -255,3 +255,58 @@ def test_gs_streaming_matches_offline_with_full_lookahead(gs_model):
     for i, (s, o) in enumerate(zip(streamed, offline)):
         np.testing.assert_allclose(s, np.asarray(o), rtol=2e-4, atol=2e-5,
                                    err_msg=f"output {i}")
+
+
+def test_streaming_resolves_auto_kernel_routing_to_all(small_model):
+    """Serving is forward-only, so 'auto' segment-kernel routing resolves to
+    'all' at StreamingRunner construction (round-5 forward-only matrix:
+    kernel faster in every mode without the recompute VJP). Explicit values
+    are pinned; kernels-off configs are untouched."""
+    import dataclasses
+
+    cfg, params = small_model
+    cfg_k = dataclasses.replace(cfg, use_pallas_segment_scan=True)
+    runner = StreamingRunner(params, cfg_k, window=6, lookahead=6)
+    assert runner.cfg.segment_kernel_modes == "all"
+
+    cfg_pin = dataclasses.replace(cfg_k, segment_kernel_modes="dot")
+    runner = StreamingRunner(params, cfg_pin, window=6, lookahead=6)
+    assert runner.cfg.segment_kernel_modes == "dot"
+
+    runner = StreamingRunner(params, cfg, window=6, lookahead=6)
+    assert runner.cfg.segment_kernel_modes == "auto"  # kernels off: inert
+
+
+def test_registry_forward_only_routing_resolver():
+    """resolve_forward_only_kernel_routing rebuilds the ModelDef (closures
+    re-closed over the new config) only when 'auto' + kernel are set."""
+    import dataclasses
+
+    from tggcn.models.registry import (
+        resolve_forward_only_kernel_routing,
+        select_model,
+        with_config_changes,
+    )
+
+    model = select_model(
+        "2G-GCN", input_size=(2152, 2048), num_classes=(13, None),
+        hidden_size=12, gcn_node=26, message_humans_to_human=True,
+        message_segment=True, message_type="v2", message_granularity="v1",
+        message_aggregation="att", attention_style="v3",
+        discrete_optimization_strategy="st",
+        object_segment_update_strategy="ind")
+    assert resolve_forward_only_kernel_routing(model) is model  # kernels off
+
+    model_k = with_config_changes(model, use_pallas_segment_scan=True)
+    resolved = resolve_forward_only_kernel_routing(model_k)
+    assert resolved.config.segment_kernel_modes == "all"
+    # The apply closure must capture the NEW config, not the old one: param
+    # trees are routing-independent, so init stays compatible.
+    import jax
+
+    p_old = model.init(jax.random.PRNGKey(0))
+    p_new = resolved.init(jax.random.PRNGKey(0))
+    assert jax.tree_util.tree_structure(p_old) == jax.tree_util.tree_structure(p_new)
+
+    pinned = with_config_changes(model_k, segment_kernel_modes="dot")
+    assert resolve_forward_only_kernel_routing(pinned) is pinned

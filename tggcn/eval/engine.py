@@ -71,6 +71,12 @@ def run_inference(run: RunDir, frame_to_segment_level: bool = False,
     params = model.init(jax.random.PRNGKey(42))
     compat_cfg = model.config if isinstance(model.config, TGGCNConfig) else None
     params = merge_params(params, load_model_weights(run.path, cfg=compat_cfg))
+    if compat_cfg is not None:
+        # Evaluation is forward-only: 'auto' segment-kernel routing resolves
+        # to 'all' here (kernel measured faster forward-only in every
+        # attention mode; params are unaffected by routing).
+        from tggcn.models.registry import resolve_forward_only_kernel_routing
+        model = resolve_forward_only_kernel_routing(model)
 
     misc = run.misc
     fetch = select_model_data_fetcher(run.model_name, run.input_type,

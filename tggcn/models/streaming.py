@@ -78,11 +78,22 @@ class StreamingRunner:
         # keeps fusion on; numerics are identical either way
         # (equivalence-tested). Pass fuse_directions=True to re-A/B.
         fuse = bool(fuse_directions) if fuse_directions is not None else False
+        changes = {}
         if (getattr(cfg, "segment_fuse_directions", True) != fuse
                 or getattr(cfg, "gru_fuse_directions", True) != fuse):
+            changes.update(segment_fuse_directions=fuse,
+                           gru_fuse_directions=fuse)
+        if (getattr(cfg, "use_pallas_segment_scan", False)
+                and getattr(cfg, "segment_kernel_modes", "auto") == "auto"):
+            # Serving is forward-only: 'auto' routing resolves to 'all'
+            # (the kernel wins every attention mode without the training
+            # path's recompute-VJP penalty — 1.11-1.39x at the B=1 T=128
+            # serving shape, tools/artifacts/r5_queue/segmodes_fwd_b1.log).
+            # Pin an explicit value (e.g. 'dot') to opt out.
+            changes.update(segment_kernel_modes="all")
+        if changes:
             import dataclasses
-            cfg = dataclasses.replace(cfg, segment_fuse_directions=fuse,
-                                      gru_fuse_directions=fuse)
+            cfg = dataclasses.replace(cfg, **changes)
         self.cfg = cfg
         self.window = window
         self.lookahead = lookahead

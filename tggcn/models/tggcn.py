@@ -121,12 +121,16 @@ class TGGCNConfig:
     # VJP otherwise). TPU-only.
     use_pallas_segment_scan: bool = False
     # Which attention modes actually route through the segment kernel when
-    # use_pallas_segment_scan is on. 'auto' engages it only where it is
-    # measured faster than the XLA fast path for training on v5e — 'dot'
-    # (v2/v3), the mode with the hand-written Pallas VJP (1.16x) — and keeps
-    # v1/v4/dist/mp on XLA (measured 0.89-1.01x with the recompute VJP;
-    # tools/bench_segment_modes.py, BASELINE.md). 'all' forces every
-    # applicable mode through the kernel.
+    # use_pallas_segment_scan is on. 'auto' is context-resolved: in the
+    # TRAINING step it engages only 'dot' (v2/v3), the mode whose backward
+    # is also a Pallas kernel (1.16x; v1/v4/dist/mp pay kernel-forward +
+    # XLA-recompute-backward, 0.89-1.01x). Forward-only entry points (the
+    # eval engine and StreamingRunner) resolve 'auto' to 'all' — without
+    # the recompute VJP the kernel wins every applicable mode (1.36-1.70x
+    # at B=8 T=167, 1.11-1.39x at B=1 T=128; tools/bench_segment_modes.py
+    # --forward_only, BASELINE.md round 5). 'all' forces every applicable
+    # mode through the kernel; any other explicit value (e.g. 'dot') pins
+    # dot-only routing in every context.
     segment_kernel_modes: str = "auto"
     # Run BOTH segment-scan directions in ONE Pallas kernel launch, stacked
     # on the batch axis ('dot' attention mode): the direction-shared
