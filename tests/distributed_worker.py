@@ -27,9 +27,16 @@ def setup_jax(local_devices: int):
     """CPU platform with a virtual device count, before first jax use."""
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
+        flags = (
             flags + f" --xla_force_host_platform_device_count={local_devices}"
         ).strip()
+    if "xla_cpu_collective_timeout_seconds" not in flags:
+        # Gloo context init defaults to a 30 s peer-rendezvous deadline;
+        # on this 1-core host the two workers can skew past it when one
+        # pays a compile the other cache-hits (observed DEADLINE_EXCEEDED
+        # on the resume leg under full-suite load).
+        flags = (flags + " --xla_cpu_collective_timeout_seconds=600").strip()
+    os.environ["XLA_FLAGS"] = flags
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
